@@ -1,0 +1,38 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware. bench.py (run by the driver) does NOT import
+# this and uses the real TPU.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow",
+        action="store_true",
+        default=False,
+        help="run slow full-scale circuit tests",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: full-scale circuit test (opt-in)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow") or os.environ.get("HALO2ECC_TPU_RUN_SLOW"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow test: use --run-slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
