@@ -565,6 +565,57 @@ class EccContextBase(TowerOps, PairingOps):
     def ecc_mul(self, a: AssignedPoint, s) -> AssignedPoint:
         return self.msm_unsafe([a], [s])
 
+    # ------------------------------------------------------------------
+    # Tower / G2 assignment conveniences (used by pairing circuits)
+    # ------------------------------------------------------------------
+
+    def assign_fq(self, v: int) -> AssignedInteger:
+        return self.base_ictx.assign_w(v)
+
+    def assign_fq2(self, c):
+        return (self.base_ictx.assign_w(c[0]), self.base_ictx.assign_w(c[1]))
+
+    def assign_fq6(self, c):
+        return tuple(self.assign_fq2(ci) for ci in c)
+
+    def assign_fq12(self, c):
+        return (self.assign_fq6(c[0]), self.assign_fq6(c[1]))
+
+    def get_fq2(self, a):
+        return (self.base_ictx.get_w(a[0]), self.base_ictx.get_w(a[1]))
+
+    def get_fq6(self, a):
+        return tuple(self.get_fq2(ai) for ai in a)
+
+    def get_fq12(self, a):
+        return (self.get_fq6(a[0]), self.get_fq6(a[1]))
+
+    def assign_constant_g2(self, pt):
+        """G2 point as fixed constants (reference tests assign G2 this way)."""
+        from ..core.assign import AssignedG2Affine
+
+        assert pt is not None
+        x = self.fq2_assign_constant(pt[0])
+        y = self.fq2_assign_constant(pt[1])
+        z = AssignedCondition(self.ctx.assign_constant(0))
+        return AssignedG2Affine(x, y, z)
+
+    def assign_g2(self, pt):
+        """Witnessed (non-constant) G2 point with an on-curve check."""
+        from ..core.assign import AssignedG2Affine
+
+        assert pt is not None
+        x = self.assign_fq2(pt[0])
+        y = self.fq2_reduce(self.assign_fq2(pt[1]))
+        # y^2 = x^3 + b2
+        y2 = self.fq2_square(y)
+        x3 = self.fq2_mul(self.fq2_square(x), x)
+        b2 = self.fq2_assign_constant(self.curve.b2)
+        rhs = self.fq2_add(x3, b2)
+        self.fq2_assert_equal(y2, rhs)
+        z = AssignedCondition(self.ctx.assign_constant(0))
+        return AssignedG2Affine(self.fq2_reduce(x), y, z)
+
     # -- abstract scalar interface --
 
     def decompose_scalar(self, s, window_size: int):
