@@ -1,0 +1,315 @@
+"""Batched exact finite-field arithmetic for TPU (JAX/XLA).
+
+Values are little-endian 16-bit limbs held in uint32 lanes, so every
+elementwise product fits a u32 and convolution partial sums stay < 2^21 —
+no 64-bit integers required (TPUs have no native u64 multiply). Reduction is
+classical Barrett (HAC 14.42) with static limb counts, giving exact modmul
+and exact div_rem (quotient+remainder) for witness hints.
+
+This is the device path for what the reference computes with host bigints
+(num_bigint in integer_chip.rs: d/rem of int_mul, carries, inverses): the
+whole witness fill becomes batched XLA programs. All shapes static; vmapped
+over the batch dimension.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+# ---------------------------------------------------------------------------
+# host <-> limb packing
+# ---------------------------------------------------------------------------
+
+
+def n_limbs_for(p: int, slack_bits: int = 0) -> int:
+    return (p.bit_length() + slack_bits + LIMB_BITS - 1) // LIMB_BITS
+
+
+def int_to_limbs(v: int, L: int) -> np.ndarray:
+    return np.array([(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(L)], dtype=np.uint32)
+
+
+def ints_to_limbs(vals: Sequence[int], L: int) -> np.ndarray:
+    out = np.empty((len(vals), L), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        for j in range(L):
+            out[i, j] = (v >> (LIMB_BITS * j)) & LIMB_MASK
+    return out
+
+
+def limbs_to_int(arr) -> int:
+    arr = np.asarray(arr)
+    v = 0
+    for i in reversed(range(arr.shape[-1])):
+        v = (v << LIMB_BITS) | int(arr[i])
+    return v
+
+
+def limbs_to_ints(arr) -> List[int]:
+    arr = np.asarray(arr)
+    return [limbs_to_int(arr[i]) for i in range(arr.shape[0])]
+
+
+def limbs16_to_u64x4(arr: np.ndarray) -> np.ndarray:
+    """uint32[B, 16] 16-bit limbs -> uint64[B, 4] words (Records packing)."""
+    a = arr.astype(np.uint64)
+    out = np.zeros(arr.shape[:-1] + (4,), dtype=np.uint64)
+    for w in range(4):
+        for j in range(4):
+            out[..., w] |= a[..., 4 * w + j] << np.uint64(16 * j)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# limb-vector primitives (static sizes, batched over leading dims)
+# ---------------------------------------------------------------------------
+
+
+def carry_norm(x, out_len: int):
+    """Propagate carries: x entries < 2^32 with true value sum(x_i b^i);
+    returns canonical 16-bit limbs, truncated/padded to out_len."""
+    K = x.shape[-1]
+    outs = []
+    c = jnp.zeros(x.shape[:-1], dtype=jnp.uint32)
+    for i in range(max(K, out_len)):
+        t = (x[..., i] if i < K else 0) + c
+        outs.append(t & LIMB_MASK)
+        c = t >> LIMB_BITS
+    return jnp.stack(outs[:out_len], axis=-1)
+
+
+def mul_limbs(a, b, out_len: int | None = None):
+    """Exact product of limb vectors (schoolbook convolution, split lo/hi
+    accumulators so nothing overflows u32)."""
+    La, Lb = a.shape[-1], b.shape[-1]
+    full = La + Lb
+    out_len = full if out_len is None else out_len
+    prod = a[..., :, None] * b[..., None, :]  # [*, La, Lb] u32 (exact)
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    acc_lo = jnp.zeros(a.shape[:-1] + (full,), dtype=jnp.uint32)
+    acc_hi = jnp.zeros(a.shape[:-1] + (full,), dtype=jnp.uint32)
+    for i in range(La):
+        acc_lo = acc_lo.at[..., i : i + Lb].add(lo[..., i, :])
+        acc_hi = acc_hi.at[..., i + 1 : i + 1 + Lb].add(hi[..., i, :])
+    return carry_norm(acc_lo + acc_hi - (acc_hi & 0), out_len) if False else _combine(acc_lo, acc_hi, out_len)
+
+
+def _combine(acc_lo, acc_hi, out_len):
+    # both accumulators < 2^21 per entry; their sum < 2^22 — safe to add
+    return carry_norm(acc_lo + acc_hi, out_len)
+
+
+def add_limbs(a, b, out_len: int | None = None):
+    L = max(a.shape[-1], b.shape[-1])
+    out_len = out_len or (L + 1)
+    x = jnp.zeros(a.shape[:-1] + (L,), dtype=jnp.uint32)
+    x = x.at[..., : a.shape[-1]].add(a)
+    x = x.at[..., : b.shape[-1]].add(b)
+    return carry_norm(x, out_len)
+
+
+def sub_limbs(a, b):
+    """a - b with borrow chain; returns (diff, borrow) — borrow==1 iff a < b."""
+    La, Lb = a.shape[-1], b.shape[-1]
+    outs = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for i in range(La):
+        bi = b[..., i] if i < Lb else 0
+        t = a[..., i] + (1 << LIMB_BITS) - bi - borrow
+        outs.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def geq_limbs(a, b):
+    _, borrow = sub_limbs(a, b)
+    return borrow == 0
+
+
+def select_limbs(cond, a, b):
+    """cond ? a : b, cond shaped like the batch dims."""
+    return jnp.where(cond[..., None], a, b)
+
+
+def shift_right_limbs(x, k: int):
+    return x[..., k:]
+
+
+def mod_floor_limbs(x, k: int):
+    return x[..., :k]
+
+
+# ---------------------------------------------------------------------------
+# Field spec + modular ops
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    p: int
+    L: int  # canonical limb count (p fits in L limbs)
+
+    @property
+    def p_limbs(self):
+        return jnp.asarray(int_to_limbs(self.p, self.L))
+
+    @property
+    def mu_limbs(self):
+        # Barrett constant for x < b^(2L): mu = floor(b^(2L) / p), L+1 limbs
+        mu = (1 << (LIMB_BITS * 2 * self.L)) // self.p
+        return jnp.asarray(int_to_limbs(mu, self.L + 2))
+
+
+def make_field(p: int) -> FieldSpec:
+    return FieldSpec(p, n_limbs_for(p))
+
+
+def add_mod(f: FieldSpec, a, b):
+    s = add_limbs(a, b, f.L + 1)
+    d, borrow = sub_limbs(s, f.p_limbs)
+    return select_limbs(borrow == 0, d, s)[..., : f.L]
+
+
+def neg_mod(f: FieldSpec, a):
+    # p - a, with 0 -> 0
+    d, _ = sub_limbs(f.p_limbs, a)
+    is_zero = jnp.all(a == 0, axis=-1)
+    return select_limbs(is_zero, a, d[..., : f.L])
+
+
+def sub_mod(f: FieldSpec, a, b):
+    d, borrow = sub_limbs(a, b)
+    d2, _ = sub_limbs(add_limbs(a, f.p_limbs, f.L + 1), b)
+    return select_limbs(borrow == 0, d, d2[..., : f.L])
+
+
+def barrett_reduce(f: FieldSpec, x):
+    """x: up to 2L limbs, value < b^(2L); returns x mod p (L limbs)."""
+    L = f.L
+    q1 = shift_right_limbs(x, L - 1)  # <= L+1 limbs
+    q2 = mul_limbs(q1, f.mu_limbs)
+    q3 = shift_right_limbs(q2, L + 1)
+    r1 = mod_floor_limbs(x, L + 1)
+    q3p = mul_limbs(q3, f.p_limbs, L + 1)
+    r, _ = sub_limbs(r1, q3p)  # r < 3p, fits L+1 limbs (mod b^(L+1))
+    for _ in range(2):
+        d, borrow = sub_limbs(r, f.p_limbs)
+        r = select_limbs(borrow == 0, d, r)
+    return r[..., :L]
+
+
+def mul_mod(f: FieldSpec, a, b):
+    return barrett_reduce(f, mul_limbs(a, b, 2 * f.L))
+
+
+def pow_mod(f: FieldSpec, a, e: int):
+    """a^e for a static exponent via scan (MSB-first square-and-multiply)."""
+    bits = [int(b) for b in bin(e)[2:]]
+    bits_arr = jnp.asarray(np.array(bits, dtype=np.uint32))
+    one = jnp.zeros(a.shape, dtype=jnp.uint32).at[..., 0].set(1)
+
+    def body(acc, bit):
+        acc = mul_mod(f, acc, acc)
+        mult = mul_mod(f, acc, a)
+        acc = select_limbs(jnp.broadcast_to(bit, acc.shape[:-1]) == 1, mult, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, one, bits_arr)
+    return acc
+
+
+def inv_mod(f: FieldSpec, a):
+    """Fermat inverse (0 -> 0)."""
+    return pow_mod(f, a, f.p - 2)
+
+
+# ---------------------------------------------------------------------------
+# Exact division with remainder by a fixed modulus (witness hints)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DivSpec:
+    """Barrett machinery for floor-div/mod by fixed w, for x < b^x_limbs."""
+
+    w: int
+    x_limbs: int  # max input size in limbs
+    q_limbs: int  # max quotient size in limbs
+
+    @property
+    def w_limbs_arr(self):
+        return jnp.asarray(int_to_limbs(self.w, n_limbs_for(self.w)))
+
+    @property
+    def mu(self):
+        mu = (1 << (LIMB_BITS * self.x_limbs)) // self.w
+        return jnp.asarray(int_to_limbs(mu, self.x_limbs - n_limbs_for(self.w) + 2))
+
+
+def div_rem_by(spec: DivSpec, x):
+    """Exact (q, r) with x = q*w + r, 0 <= r < w. x: [*, x_limbs]."""
+    k = n_limbs_for(spec.w)
+    # q_hat = (x >> b^(k-1)) * mu >> b^(x_limbs - k + 1)
+    q1 = shift_right_limbs(x, k - 1)
+    q2 = mul_limbs(q1, spec.mu)
+    q_hat = shift_right_limbs(q2, spec.x_limbs - k + 1)[..., : spec.q_limbs]
+    # r_hat = x - q_hat * w  (compute in full width to keep exactness)
+    qw = mul_limbs(q_hat, spec.w_limbs_arr, spec.x_limbs + 1)
+    x_ext = jnp.zeros(x.shape[:-1] + (spec.x_limbs + 1,), dtype=jnp.uint32)
+    x_ext = x_ext.at[..., : spec.x_limbs].set(x)
+    r, under = sub_limbs(x_ext, qw)
+    # q_hat may overshoot by a tiny amount (then r underflowed) or undershoot
+    w_ext = jnp.zeros_like(r).at[..., :k].set(spec.w_limbs_arr)
+    one = jnp.zeros(q_hat.shape, dtype=jnp.uint32).at[..., 0].set(1)
+    for _ in range(2):  # fix undershoot of the subtraction (negative r)
+        radd = add_limbs(r, w_ext, spec.x_limbs + 1)
+        qsub, _ = sub_limbs(q_hat, one)
+        r = select_limbs(under == 1, radd, r)
+        q_hat = select_limbs(under == 1, qsub, q_hat)
+        _, under = sub_limbs(jnp.zeros_like(r), r)  # recompute? see below
+        under = jnp.zeros_like(under)  # single correction is enough after exact sub
+    for _ in range(4):  # fix overshoot (r >= w)
+        d, borrow = sub_limbs(r, w_ext)
+        qadd = add_limbs(q_hat, one, spec.q_limbs)
+        take = borrow == 0
+        r = select_limbs(take, d, r)
+        q_hat = select_limbs(take, qadd, q_hat)
+    return q_hat, r[..., :k]
+
+
+# ---------------------------------------------------------------------------
+# chunk extraction (18-bit range chunks from 16-bit limbs)
+# ---------------------------------------------------------------------------
+
+
+def extract_chunks(x, chunk_bits: int, count: int):
+    """Split a limb vector into `count` chunks of chunk_bits bits each."""
+    L = x.shape[-1]
+    mask = (1 << chunk_bits) - 1
+    chunks = []
+    for c in range(count):
+        start = c * chunk_bits
+        i0 = start // LIMB_BITS
+        s = start % LIMB_BITS
+        v = jnp.zeros(x.shape[:-1], dtype=jnp.uint32)
+        if i0 < L:
+            v = x[..., i0] >> s
+        bits_have = LIMB_BITS - s
+        idx = i0 + 1
+        while bits_have < chunk_bits and idx < L:
+            v = v | (x[..., idx] << bits_have)
+            bits_have += LIMB_BITS
+            idx += 1
+        chunks.append(v & mask)
+    return jnp.stack(chunks, axis=-1)
