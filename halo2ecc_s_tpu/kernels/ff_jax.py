@@ -102,10 +102,6 @@ def mul_limbs(a, b, out_len: int | None = None):
     for i in range(La):
         acc_lo = acc_lo.at[..., i : i + Lb].add(lo[..., i, :])
         acc_hi = acc_hi.at[..., i + 1 : i + 1 + Lb].add(hi[..., i, :])
-    return carry_norm(acc_lo + acc_hi - (acc_hi & 0), out_len) if False else _combine(acc_lo, acc_hi, out_len)
-
-
-def _combine(acc_lo, acc_hi, out_len):
     # both accumulators < 2^21 per entry; their sum < 2^22 — safe to add
     return carry_norm(acc_lo + acc_hi, out_len)
 
@@ -258,34 +254,63 @@ class DivSpec:
 
 
 def div_rem_by(spec: DivSpec, x):
-    """Exact (q, r) with x = q*w + r, 0 <= r < w. x: [*, x_limbs]."""
+    """Exact (q, r) with x = q*w + r, 0 <= r < w. x: [*, x_limbs].
+
+    The generalized Barrett estimate satisfies q-4 <= q_hat <= q (the three
+    floor losses contribute <= b^(k-1)/w + x/b^x_limbs + 1 + 1 < 4), so
+    r_hat = x - q_hat*w is non-negative and at most 4 conditional subtractions
+    of w make it canonical.
+    """
     k = n_limbs_for(spec.w)
-    # q_hat = (x >> b^(k-1)) * mu >> b^(x_limbs - k + 1)
     q1 = shift_right_limbs(x, k - 1)
     q2 = mul_limbs(q1, spec.mu)
     q_hat = shift_right_limbs(q2, spec.x_limbs - k + 1)[..., : spec.q_limbs]
-    # r_hat = x - q_hat * w  (compute in full width to keep exactness)
     qw = mul_limbs(q_hat, spec.w_limbs_arr, spec.x_limbs + 1)
     x_ext = jnp.zeros(x.shape[:-1] + (spec.x_limbs + 1,), dtype=jnp.uint32)
     x_ext = x_ext.at[..., : spec.x_limbs].set(x)
-    r, under = sub_limbs(x_ext, qw)
-    # q_hat may overshoot by a tiny amount (then r underflowed) or undershoot
+    r, _ = sub_limbs(x_ext, qw)  # >= 0 since q_hat <= q
     w_ext = jnp.zeros_like(r).at[..., :k].set(spec.w_limbs_arr)
     one = jnp.zeros(q_hat.shape, dtype=jnp.uint32).at[..., 0].set(1)
-    for _ in range(2):  # fix undershoot of the subtraction (negative r)
-        radd = add_limbs(r, w_ext, spec.x_limbs + 1)
-        qsub, _ = sub_limbs(q_hat, one)
-        r = select_limbs(under == 1, radd, r)
-        q_hat = select_limbs(under == 1, qsub, q_hat)
-        _, under = sub_limbs(jnp.zeros_like(r), r)  # recompute? see below
-        under = jnp.zeros_like(under)  # single correction is enough after exact sub
-    for _ in range(4):  # fix overshoot (r >= w)
+    for _ in range(4):  # fix undershoot (r >= w)
         d, borrow = sub_limbs(r, w_ext)
         qadd = add_limbs(q_hat, one, spec.q_limbs)
         take = borrow == 0
         r = select_limbs(take, d, r)
         q_hat = select_limbs(take, qadd, q_hat)
     return q_hat, r[..., :k]
+
+
+# ---------------------------------------------------------------------------
+# jitted entry points
+#
+# Eager dispatch compiles every distinct sub-op separately (hundreds of tiny
+# XLA programs for one modmul); ALWAYS go through these cached jits.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def jitted(f: FieldSpec):
+    """Cached jitted modular ops bound to a field."""
+    class _Ops:
+        add = staticmethod(jax.jit(partial(add_mod, f)))
+        sub = staticmethod(jax.jit(partial(sub_mod, f)))
+        neg = staticmethod(jax.jit(partial(neg_mod, f)))
+        mul = staticmethod(jax.jit(partial(mul_mod, f)))
+        inv = staticmethod(jax.jit(partial(inv_mod, f)))
+
+    return _Ops
+
+
+@lru_cache(maxsize=None)
+def jitted_div_rem(spec: DivSpec):
+    return jax.jit(partial(div_rem_by, spec))
+
+
+@lru_cache(maxsize=None)
+def jitted_pow(f: FieldSpec, e: int):
+    return jax.jit(lambda a: pow_mod(f, a, e))
 
 
 # ---------------------------------------------------------------------------

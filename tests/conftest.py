@@ -2,14 +2,23 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. bench.py (run by the driver) does NOT import
-# this and uses the real TPU.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware (and without paying remote-TPU compile
+# latency per test). bench.py (run by the driver) does NOT import this and
+# uses the real TPU.
+#
+# NOTE: the image's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so setting env vars here is too late for jax.config's
+# env snapshot — override through jax.config before any backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
