@@ -156,6 +156,8 @@ class Records:
         self.range = RegionTable(RANGE_ADV_COLUMNS, RANGE_FIX_COLUMNS)
         self.select = RegionTable(SELECT_ADV_COLUMNS, SELECT_FIX_COLUMNS)
         self.permutations: List[Tuple[Cell, Cell]] = []
+        # batched copy constraints: ((region, col, rows[B]), (region, col, rows[B]))
+        self.permutation_blocks: List[Tuple[Tuple, Tuple]] = []
 
     def region(self, r: Region) -> RegionTable:
         if r == Region.BASE:

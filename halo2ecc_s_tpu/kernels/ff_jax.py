@@ -318,6 +318,34 @@ def jitted_pow(f: FieldSpec, e: int):
 # ---------------------------------------------------------------------------
 
 
+def pad_limbs(x, L: int):
+    """Zero-extend a limb vector to L limbs."""
+    cur = x.shape[-1]
+    if cur >= L:
+        return x[..., :L]
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (L - cur,), dtype=jnp.uint32)], axis=-1
+    )
+
+
+def extract_bit_slice(x, start_bit: int, width_bits: int):
+    """Bits [start_bit, start_bit+width_bits) of a limb vector, as a fresh
+    limb vector of ceil(width/16) limbs. Static offsets -> static shifts."""
+    L = x.shape[-1]
+    out_limbs = (width_bits + LIMB_BITS - 1) // LIMB_BITS
+    i0, s = divmod(start_bit, LIMB_BITS)
+    outs = []
+    for k in range(out_limbs):
+        lo = x[..., i0 + k] >> s if i0 + k < L else jnp.zeros(x.shape[:-1], jnp.uint32)
+        if s > 0 and i0 + k + 1 < L:
+            lo = lo | ((x[..., i0 + k + 1] << (LIMB_BITS - s)) & LIMB_MASK)
+        rem = width_bits - k * LIMB_BITS
+        if rem < LIMB_BITS:
+            lo = lo & ((1 << rem) - 1)
+        outs.append(lo & LIMB_MASK)
+    return jnp.stack(outs, axis=-1)
+
+
 def extract_chunks(x, chunk_bits: int, count: int):
     """Split a limb vector into `count` chunks of chunk_bits bits each."""
     L = x.shape[-1]

@@ -1,0 +1,85 @@
+"""Multi-chip sharding of the witness workload.
+
+The reference parallelises with rayon threads over one host's shared memory
+(SURVEY §2 parallelism inventory); here the batch axis (MSM points / int_mul
+instances / windows) shards over a jax.sharding.Mesh, witness values are
+computed per-device by the ff_jax kernels, and cross-device aggregates
+(bucket sums, digests, row accounting) ride XLA collectives (psum) over ICI.
+
+Row offsets need NO communication: per-op row counts are static, so every
+device knows its slab from its axis index alone — the TPU-native analogue of
+the reference's offset-prediction trick (ecc_chip.rs:150-204).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import ff_jax as ff
+from ..utils.fields import BN254_FQ, BN254_FR
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_int_mul_witness(mesh: Mesh, axis: str = "points"):
+    """Returns a jitted fn computing the batched int_mul witness with the
+    batch sharded over `axis`, plus a psum'd global digest (stand-in for
+    bucket-sum style cross-device aggregation).
+
+    Outputs keep their shardings (each device holds its slab's values),
+    so the per-host emission path only touches local shards.
+    """
+    from ..batch.integer_batch import get_engine
+
+    engine = get_engine(BN254_FQ, BN254_FR)
+
+    def step(a16, b16):
+        wit = engine._witness(a16, b16)
+        # global digest: wrap-around u32 fold of every witness value, summed
+        # across devices (row accounting / integrity check pattern)
+        local = jnp.zeros((), dtype=jnp.uint32)
+        for v in wit.values():
+            local = local + jnp.sum(v, dtype=jnp.uint32)
+        digest = jax.lax.psum(local, axis)
+
+        return wit, digest
+
+    in_spec = P(axis, None)
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(in_spec, in_spec),
+        out_specs=(P(axis, None), P()),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_msm_bucket_reduce(mesh: Mesh, axis: str = "points"):
+    """Cross-device reduction pattern for MSM partials: each device folds its
+    local point shard into per-window native-field accumulators (wide u64-free
+    limb accumulation), then psums raw limb accumulators over ICI and
+    normalises once — one collective for the whole reduction.
+    """
+    fr = ff.make_field(BN254_FR)
+
+    def step(scalars16):
+        # local partial: plain limb-wise accumulation (values < p, B_local
+        # terms => per-limb sums < B_local * 2^16; safe in u32 for B<2^16)
+        local = jnp.sum(scalars16, axis=0, dtype=jnp.uint32)
+        total = jax.lax.psum(local, axis)
+        # normalise the redundant-limb accumulator back into canonical form
+        red = ff.carry_norm(total, fr.L + 2)
+        return ff.barrett_reduce(fr, ff.pad_limbs(red, 2 * fr.L))
+
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(P(axis, None),), out_specs=P()
+    )
+    return jax.jit(sharded)

@@ -157,6 +157,20 @@ def verify_context(ctx: Context, k: int | None = None, max_errors: int = 16) -> 
         if bad_rows:
             errors.append(f"select lookup violated at rows {bad_rows}")
 
+    # ---------------- batched permutation blocks ----------------
+    for idx, ((ra, ca, rows_a), (rb, cb, rows_b)) in enumerate(rec.permutation_blocks):
+        ta, tb = rec.region(ra), rec.region(rb)
+        if not (ta.adv_set[rows_a, ca].all() and tb.adv_set[rows_b, cb].all()):
+            errors.append(f"permutation block {idx}: unassigned cells")
+            continue
+        va = ta.adv_vals[rows_a, ca]
+        vb = tb.adv_vals[rows_b, cb]
+        neq = (va != vb).any(axis=-1)
+        if neq.any():
+            errors.append(
+                f"permutation block {idx}: unequal at lanes {_first_rows(neq)}"
+            )
+
     # ---------------- permutations ----------------
     bad_pairs = []
     for idx, (a, b) in enumerate(rec.permutations):
