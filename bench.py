@@ -30,6 +30,12 @@ REFERENCE_ROWS_PER_SEC = 21e6  # estimated 64-core reference throughput
 def main():
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from halo2ecc_s_tpu.batch.integer_batch import get_engine
     from halo2ecc_s_tpu.core.context import Context
     from halo2ecc_s_tpu.utils.fields import BN254_FQ

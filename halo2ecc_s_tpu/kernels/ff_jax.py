@@ -77,33 +77,62 @@ def limbs16_to_u64x4(arr: np.ndarray) -> np.ndarray:
 
 def carry_norm(x, out_len: int):
     """Propagate carries: x entries < 2^32 with true value sum(x_i b^i);
-    returns canonical 16-bit limbs, truncated/padded to out_len."""
+    returns canonical 16-bit limbs, truncated/padded to out_len.
+
+    Implemented as a lax.scan over the limb axis — keeps the XLA graph tiny
+    (unrolled chains made remote TPU compiles pathologically slow)."""
     K = x.shape[-1]
-    outs = []
-    c = jnp.zeros(x.shape[:-1], dtype=jnp.uint32)
-    for i in range(max(K, out_len)):
-        t = (x[..., i] if i < K else 0) + c
-        outs.append(t & LIMB_MASK)
-        c = t >> LIMB_BITS
-    return jnp.stack(outs[:out_len], axis=-1)
+    if out_len > K:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (out_len - K,), jnp.uint32)], axis=-1
+        )
+    xT = jnp.moveaxis(x[..., :out_len], -1, 0)  # [out_len, *batch]
+
+    def step(c, xi):
+        t = xi + c
+        return t >> LIMB_BITS, t & LIMB_MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.uint32), xT)
+    return jnp.moveaxis(outs, 0, -1)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _conv_tensor_np(La: int, Lb: int, out_len: int, offset: int):
+    """Static 0/1 tensor T[i, j, k] = 1 iff i + j + offset == k.
+
+    Cached as numpy — converting inside the cache would leak tracers when
+    first touched under jit."""
+    t = np.zeros((La, Lb, out_len), dtype=np.uint32)
+    for i in range(La):
+        for j in range(Lb):
+            k = i + j + offset
+            if k < out_len:
+                t[i, j, k] = 1
+    return t.reshape(La * Lb, out_len)
+
+
+def _conv_tensor(La: int, Lb: int, out_len: int, offset: int):
+    return jnp.asarray(_conv_tensor_np(La, Lb, out_len, offset))
 
 
 def mul_limbs(a, b, out_len: int | None = None):
-    """Exact product of limb vectors (schoolbook convolution, split lo/hi
-    accumulators so nothing overflows u32)."""
+    """Exact product of limb vectors. The convolution is one integer einsum
+    against a static 0/1 tensor (split lo/hi so partial sums stay < 2^21)."""
     La, Lb = a.shape[-1], b.shape[-1]
     full = La + Lb
     out_len = full if out_len is None else out_len
     prod = a[..., :, None] * b[..., None, :]  # [*, La, Lb] u32 (exact)
-    lo = prod & LIMB_MASK
-    hi = prod >> LIMB_BITS
-    acc_lo = jnp.zeros(a.shape[:-1] + (full,), dtype=jnp.uint32)
-    acc_hi = jnp.zeros(a.shape[:-1] + (full,), dtype=jnp.uint32)
-    for i in range(La):
-        acc_lo = acc_lo.at[..., i : i + Lb].add(lo[..., i, :])
-        acc_hi = acc_hi.at[..., i + 1 : i + 1 + Lb].add(hi[..., i, :])
-    # both accumulators < 2^21 per entry; their sum < 2^22 — safe to add
-    return carry_norm(acc_lo + acc_hi, out_len)
+    lo = (prod & LIMB_MASK).reshape(prod.shape[:-2] + (La * Lb,))
+    hi = (prod >> LIMB_BITS).reshape(prod.shape[:-2] + (La * Lb,))
+    t_lo = _conv_tensor(La, Lb, out_len, 0)
+    t_hi = _conv_tensor(La, Lb, out_len, 1)
+    acc = jnp.matmul(lo, t_lo, preferred_element_type=jnp.uint32)
+    acc = acc + jnp.matmul(hi, t_hi, preferred_element_type=jnp.uint32)
+    # each matmul partial sum < 2^21; their sum < 2^22 — safe in u32
+    return carry_norm(acc, out_len)
 
 
 def add_limbs(a, b, out_len: int | None = None):
@@ -118,14 +147,25 @@ def add_limbs(a, b, out_len: int | None = None):
 def sub_limbs(a, b):
     """a - b with borrow chain; returns (diff, borrow) — borrow==1 iff a < b."""
     La, Lb = a.shape[-1], b.shape[-1]
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for i in range(La):
-        bi = b[..., i] if i < Lb else 0
-        t = a[..., i] + (1 << LIMB_BITS) - bi - borrow
-        outs.append(t & LIMB_MASK)
-        borrow = 1 - (t >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, batch + (La,))
+    b = jnp.broadcast_to(b, batch + (Lb,))
+    if Lb < La:
+        b = jnp.concatenate(
+            [b, jnp.zeros(b.shape[:-1] + (La - Lb,), jnp.uint32)], axis=-1
+        )
+    aT = jnp.moveaxis(a, -1, 0)
+    bT = jnp.moveaxis(b[..., :La], -1, 0)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        t = ai + (1 << LIMB_BITS) - bi - borrow
+        return 1 - (t >> LIMB_BITS), t & LIMB_MASK
+
+    borrow, outs = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], jnp.uint32), (aT, bT)
+    )
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def geq_limbs(a, b):

@@ -45,7 +45,92 @@ def _first_rows(mask: np.ndarray, limit: int = 5) -> List[int]:
     return [int(i) for i in np.nonzero(mask)[0][:limit]]
 
 
-def verify_context(ctx: Context, k: int | None = None, max_errors: int = 16) -> List[str]:
+def verify_context(
+    ctx: Context,
+    k: int | None = None,
+    max_errors: int = 16,
+    use_native: bool | None = None,
+) -> List[str]:
+    """use_native: True forces the C++ backend, False forces the numpy
+    reference path, None picks native when the toolchain built it."""
+    if use_native is not False:
+        from . import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            return _verify_native(ctx, lib, k)
+        if use_native is True:
+            raise RuntimeError("native verifier unavailable")
+
+    return _verify_python(ctx, k, max_errors)
+
+
+def _verify_native(ctx: Context, lib, k: int | None) -> List[str]:
+    from . import native as _native
+
+    errors: List[str] = []
+    rec = ctx.records
+    n = ctx.n
+
+    if k is not None:
+        usable = (1 << k) - 8
+        for name, h in (
+            ("base", rec.base.height),
+            ("range", rec.range.height),
+            ("select", rec.select.height),
+        ):
+            if h > usable:
+                errors.append(f"{name} region height {h} exceeds usable rows 2^{k}-8")
+
+    if rec.base.height > 0:
+        bad = _native.check_base_gate(lib, rec.base, rec.base.height, n)
+        if bad >= 0:
+            errors.append(f"base gate violated at row {bad}")
+    if rec.range.height > 0:
+        bad = _native.check_range_region(
+            lib, rec.range, rec.range.height, n, COMMON_RANGE_BITS
+        )
+        if bad >= 0:
+            errors.append(f"range region violated at row {bad}")
+    if rec.select.height > 0:
+        bad = _native.check_select_lookup(lib, rec.select, rec.select.height, n)
+        if bad >= 0:
+            errors.append(f"select lookup violated at row {bad}")
+
+    # flatten scalar pairs + batch blocks into index arrays
+    n_pairs = len(rec.permutations)
+    block_len = sum(len(rows_a) for (_, _, rows_a), _ in rec.permutation_blocks)
+    total = n_pairs + block_len
+    if total > 0:
+        rego_a = np.empty(total, np.int64)
+        col_a = np.empty(total, np.int64)
+        row_a = np.empty(total, np.int64)
+        rego_b = np.empty(total, np.int64)
+        col_b = np.empty(total, np.int64)
+        row_b = np.empty(total, np.int64)
+        for i, (a, b) in enumerate(rec.permutations):
+            rego_a[i], col_a[i], row_a[i] = int(a.region), a.col, a.row
+            rego_b[i], col_b[i], row_b[i] = int(b.region), b.col, b.row
+        off = n_pairs
+        for (ra, ca, rows_a), (rb, cb, rows_b) in rec.permutation_blocks:
+            m = len(rows_a)
+            rego_a[off : off + m] = int(ra)
+            col_a[off : off + m] = ca
+            row_a[off : off + m] = rows_a
+            rego_b[off : off + m] = int(rb)
+            col_b[off : off + m] = cb
+            row_b[off : off + m] = rows_b
+            off += m
+        bad = _native.check_permutations(
+            lib, rec, rego_a, col_a, row_a, rego_b, col_b, row_b
+        )
+        if bad >= 0:
+            errors.append(f"permutation violated at index {bad}")
+
+    return errors
+
+
+def _verify_python(ctx: Context, k: int | None = None, max_errors: int = 16) -> List[str]:
     errors: List[str] = []
     n = ctx.n
     rec = ctx.records
