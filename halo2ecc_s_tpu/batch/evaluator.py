@@ -87,14 +87,22 @@ def build_evaluator(tape: Tape, roots: Sequence[int]):
                 vals[nid] = ff.mul_limbs(a, b, _limbs(node.bits))
             elif op == "mod":
                 a = vals[node.args[0]]
-                spec = _div_spec(node.const, max(a.shape[-1], ff.n_limbs_for(node.const) + 1))
-                _, r = ff.div_rem_by(spec, ff.pad_limbs(a, spec.x_limbs))
+                Lm = ff.n_limbs_for(node.const)
+                if a.shape[-1] <= 2 * Lm:
+                    f = ff.make_field(node.const)
+                    r = ff.barrett_reduce(f, ff.pad_limbs(a, 2 * Lm))
+                else:
+                    spec = _div_spec(node.const, a.shape[-1])
+                    _, r = ff.div_rem_by(spec, a)
                 vals[nid] = ff.pad_limbs(r, _limbs(node.bits))
             elif op == "div":
                 a = vals[node.args[0]]
                 spec = _div_spec(node.const, max(a.shape[-1], ff.n_limbs_for(node.const) + 1))
                 q, _ = ff.div_rem_by(spec, ff.pad_limbs(a, spec.x_limbs))
                 vals[nid] = ff.pad_limbs(q, _limbs(node.bits))
+            elif op == "assume":
+                a = vals[node.args[0]]
+                vals[nid] = ff.pad_limbs(a, _limbs(node.const))
             elif op == "andmask":
                 a = vals[node.args[0]]
                 vals[nid] = ff.extract_bit_slice(a, 0, max(node.const.bit_length(), 1))

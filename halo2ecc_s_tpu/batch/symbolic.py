@@ -32,6 +32,7 @@ class Node:
     const: object = None  # int modulus / shift / mask / tuple, op-specific
     bits: int = 0  # upper bound on device value (true + pad)
     pad: int = 0  # static pad (multiple of n); 0 means exact
+    mod_tag: Optional[int] = None  # value is known canonical mod this modulus
 
 
 class Tape:
@@ -42,9 +43,19 @@ class Tape:
         # trace-time assumptions that must hold on EVERY lane; checked at
         # instantiation (UnsafeError retry protocol for divergence)
         self.assume_equal_const: List[Tuple[int, int]] = []  # (node, const)
+        self._cse: Dict[Tuple, int] = {}
 
     def push(self, node: Node) -> int:
         assert node.bits <= MAX_BITS, f"node too wide: {node.bits} bits ({node.op})"
+        if node.op != "input":
+            key = (node.op, node.args, node.const)
+            hit = self._cse.get(key)
+            if hit is not None:
+                return hit
+            self.nodes.append(node)
+            nid = len(self.nodes) - 1
+            self._cse[key] = nid
+            return nid
         self.nodes.append(node)
         return len(self.nodes) - 1
 
@@ -101,8 +112,11 @@ class SymVal:
     # -- arithmetic --
 
     def __add__(self, other):
-        if isinstance(other, int) and other == 0:
-            return self
+        if isinstance(other, int):
+            if other == 0:
+                return self
+            if other < 0:
+                return self.__sub__(-other)
         o = self._coerce(other)
         n = self._node()
         on = o._node()
@@ -141,7 +155,8 @@ class SymVal:
                 return self
             if other == 0:
                 return self._coerce(0)
-            assert other > 0
+            if other < 0:
+                return (self * (-other)).__neg__()
             n = self._node()
             nid = self.tape.push(
                 Node("mulc", (self.nid,), other, n.bits + _bits(other), n.pad * other)
@@ -159,15 +174,26 @@ class SymVal:
     def __mod__(self, m: int):
         assert isinstance(m, int) and m > 1
         n = self._node()
+        # already canonical mod m -> identity (kills redundant Barrett divs)
+        if n.mod_tag == m and n.pad == 0:
+            return self
+        # value provably < m (and exact, non-negative possible only if pad
+        # covers the whole range... pad==0 and bits small) -> identity
+        if n.pad == 0 and (1 << n.bits) <= m and self.v0 >= 0:
+            out = SymVal(self.tape, self.nid, self.v0)
+            n.mod_tag = m if n.mod_tag is None else n.mod_tag
+            return out
         if m == self.tape.n:
             assert n.pad % m == 0, "pad must be a multiple of n for mod-n"
         else:
             assert n.pad == 0, "mod by non-native modulus requires exact value"
         if m & (m - 1) == 0:
-            assert n.pad == 0 or m == self.tape.n
+            assert n.pad == 0
             nid = self.tape.push(Node("andmask", (self.nid,), m - 1, _bits(m - 1), 0))
         else:
-            nid = self.tape.push(Node("mod", (self.nid,), m, _bits(m - 1), 0))
+            nid = self.tape.push(
+                Node("mod", (self.nid,), m, _bits(m - 1), 0, mod_tag=m)
+            )
         return SymVal(self.tape, nid, self.v0 % m)
 
     def __floordiv__(self, m: int):
@@ -175,6 +201,8 @@ class SymVal:
         n = self._node()
         assert n.pad == 0, "floor-div requires exact value"
         assert self.v0 >= 0, "floor-div of negative value unsupported"
+        if m & (m - 1) == 0:
+            return self.__rshift__(m.bit_length() - 1)
         nid = self.tape.push(Node("div", (self.nid,), m, n.bits, 0))
         return SymVal(self.tape, nid, self.v0 // m)
 
@@ -205,7 +233,7 @@ class SymVal:
         assert n.pad == 0
         if e == -1:
             # Fermat inverse (0 -> 0), matching utils.fields.inv_mod semantics
-            nid = self.tape.push(Node("inv", (self.nid,), m, _bits(m - 1), 0))
+            nid = self.tape.push(Node("inv", (self.nid,), m, _bits(m - 1), 0, mod_tag=m))
             from ..utils.fields import inv_mod as _inv
 
             return SymVal(self.tape, nid, _inv(self.v0, m))
@@ -254,6 +282,39 @@ class SymVal:
 
     def __repr__(self):
         return f"SymVal(n{self.nid}, v0={self.v0})"
+
+
+def exact_sub(a, b):
+    """a - b where the result is mathematically guaranteed non-negative
+    (witness-hint arithmetic like d = (b*c - a)/w). Stays pad-free so the
+    result can feed exact division/shifts."""
+    if isinstance(a, int) and isinstance(b, int):
+        assert a >= b, "exact_sub underflow"
+        return a - b
+    sa = a if isinstance(a, SymVal) else b._coerce(a)
+    sb = b if isinstance(b, SymVal) else a._coerce(b)
+    na, nb = sa._node(), sb._node()
+    assert na.pad == 0 and nb.pad == 0, "exact_sub requires exact operands"
+    assert sa.v0 >= sb.v0, "exact_sub underflow on lane 0"
+    nid = sa.tape.push(Node("sub", (sa.nid, sb.nid), 0, na.bits + 1, 0))
+    return SymVal(sa.tape, nid, sa.v0 - sb.v0)
+
+
+def assume_bits(v, k: int):
+    """Tighten a value's width bound (honest-prover invariant, e.g. range-
+    constrained limbs are < 2^(limb_bits + log2(times))). For ints: checked.
+    For SymVal: a truncation node — sound for witness generation because the
+    verifier independently checks the emitted tables."""
+    if isinstance(v, int):
+        assert 0 <= v < (1 << k)
+        return v
+    node = v._node()
+    assert node.pad == 0, "width assumption requires exact value"
+    assert 0 <= v.v0 < (1 << k)
+    if node.bits <= k:
+        return v
+    nid = v.tape.push(Node("assume", (v.nid,), k, k, 0))
+    return SymVal(v.tape, nid, v.v0)
 
 
 def gather(values: List[SymVal], index: SymVal, v0_index: int) -> SymVal:

@@ -154,14 +154,84 @@ class Template:
             self._eval = jax.jit(build_evaluator(self.tape, tuple(self._roots())))
         return self._eval
 
+    # -- fully device-resident emission (no host transfer) --
+
+    def device_emitter(self):
+        """Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 16]}
+        materialising each instance's advice slab in device memory. Constant
+        advice cells come from the probe pattern; fixed columns are identical
+        for every instance (static circuit data) and stay host-side.
+
+        This is the full TPU witness path: values AND table layout live in
+        HBM, where a device-side prover would consume them.
+        """
+        if getattr(self, "_dev_emit", None) is not None:
+            return self._dev_emit
+
+        import jax.numpy as jnp
+
+        probe = self.ctx.records
+        strides = self.strides
+        roots = tuple(self._roots())
+        ev = build_evaluator(self.tape, roots)
+
+        region_info = []
+        for ridx, ptbl in enumerate([probe.base, probe.range, probe.select]):
+            stride = strides[ridx]
+            if stride == 0:
+                region_info.append(None)
+                continue
+            # constant advice pattern as u32 16-bit limbs
+            const = np.zeros((stride, ptbl.n_adv, 16), dtype=np.uint32)
+            u64 = ptbl.adv_vals[:stride]
+            for j in range(4):
+                for k in range(4):
+                    const[..., 4 * j + k] = (
+                        (u64[..., j] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                    ).astype(np.uint32)
+            region_info.append((stride, ptbl.n_adv, const, list(ptbl.captures)))
+
+        def emit(inputs):
+            out = ev(inputs)
+            B = next(iter(inputs.values())).shape[0]
+            tables = {}
+            for ridx, info in enumerate(region_info):
+                if info is None:
+                    continue
+                stride, n_adv, const, captures = info
+                tbl = jnp.broadcast_to(
+                    jnp.asarray(const), (B, stride, n_adv, 16)
+                )
+                for (row, col, nid) in captures:
+                    v = out[nid]
+                    if v.shape[-1] < 16:
+                        v = jnp.concatenate(
+                            [v, jnp.zeros(v.shape[:-1] + (16 - v.shape[-1],), jnp.uint32)],
+                            axis=-1,
+                        )
+                    tbl = tbl.at[:, row, col, :].set(v[..., :16])
+                tables[ridx] = tbl
+            return tables
+
+        import jax
+
+        self._dev_emit = jax.jit(emit)
+        return self._dev_emit
+
     def instantiate(
         self,
         ctx: Context,
         inputs: Dict[str, np.ndarray],
         assigned_rows: Optional[Dict[str, Tuple[Region, int, np.ndarray]]] = None,
+        instance_rows: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
     ):
         """Emit B instances. inputs: name -> u32[B, limbs]. assigned_rows maps
         assigned-input names to their actual (region, col, rows[B]).
+
+        instance_rows optionally gives each instance's absolute slab start per
+        region (default: consecutive slabs from the current cursors, which are
+        then advanced; with explicit rows the caller manages cursors — used
+        e.g. to interleave instances group-major like the reference layout).
 
         Returns the output pytree with each AssignedValue leaf replaced by
         (values u32[B, 16-limb], (region, col, rows[B])).
@@ -169,8 +239,15 @@ class Template:
         B = next(iter(inputs.values())).shape[0]
         rec = ctx.records
         probe = self.ctx.records
-        starts = ctx.offsets()
         strides = self.strides
+        ar = np.arange(B, dtype=np.int64)
+
+        if instance_rows is None:
+            starts = ctx.offsets()
+            slab0 = tuple(starts[r] + ar * strides[r] for r in range(3))
+            ctx.apply_offset_diff(tuple(B * s for s in strides))
+        else:
+            slab0 = tuple(np.asarray(x, dtype=np.int64) for x in instance_rows)
 
         # 1. bulk-copy the probe pattern (fixed + constant advice + masks)
         for ridx, (tbl, ptbl) in enumerate(
@@ -179,13 +256,11 @@ class Template:
             stride = strides[ridx]
             if stride == 0:
                 continue
-            end = starts[ridx] + B * stride
+            end = int(slab0[ridx].max()) + stride
             tbl.ensure(end)
             tbl.bump_height(end)
             rows = (
-                starts[ridx]
-                + np.arange(B, dtype=np.int64)[:, None] * stride
-                + np.arange(stride, dtype=np.int64)[None, :]
+                slab0[ridx][:, None] + np.arange(stride, dtype=np.int64)[None, :]
             ).reshape(-1)
             tbl.adv_vals[rows] = np.tile(ptbl.adv_vals[:stride], (B, 1, 1))
             tbl.adv_set[rows] = np.tile(ptbl.adv_set[:stride], (B, 1))
@@ -204,12 +279,11 @@ class Template:
                 raise UnsafeError("lane diverged from traced control flow")
 
         # 4. scatter captured value blocks
-        ar = np.arange(B, dtype=np.int64)
         for ridx, (tbl, ptbl) in enumerate(
             [(rec.base, probe.base), (rec.range, probe.range), (rec.select, probe.select)]
         ):
             for (row, col, nid) in ptbl.captures:
-                rows = starts[ridx] + ar * strides[ridx] + row
+                rows = slab0[ridx] + row
                 tbl.adv_vals[rows, col] = _to_u64(out[nid])
                 tbl.adv_set[rows, col] = 1
 
@@ -219,14 +293,10 @@ class Template:
                 name = self._placeholder_cells[cell]
                 region, col, rows = assigned_rows[name]
                 return (region, col, np.asarray(rows, dtype=np.int64))
-            ridx = int(cell.region)
-            rows = starts[ridx] + ar * strides[ridx] + cell.row
-            return (cell.region, cell.col, rows)
+            return (cell.region, cell.col, slab0[int(cell.region)] + cell.row)
 
         for a, b in probe.permutations:
             rec.permutation_blocks.append((rebase(a), rebase(b)))
-
-        ctx.apply_offset_diff(tuple(B * s for s in strides))
 
         # 6. map outputs
         def map_leaf(leaf: AssignedValue):
@@ -235,11 +305,7 @@ class Template:
                 vals = out[leaf.val.nid]
             else:
                 vals = ff.ints_to_limbs([leaf.val] * B, 16)
-            region, col, rows = rebase(cell) if cell.row < 0 else (
-                cell.region,
-                cell.col,
-                starts[int(cell.region)] + ar * strides[int(cell.region)] + cell.row,
-            )
+            region, col, rows = rebase(cell)
             return vals, (region, col, rows)
 
         return _map_leaves(self.outputs, map_leaf)

@@ -292,7 +292,11 @@ class Context:
         self.one_line([(a, -1), (b, 1)], None, (), None)
 
     def assert_constant(self, a, b: int) -> None:
-        assert _val(a) % self.n == b % self.n
+        av = _val(a)
+        assert av % self.n == b % self.n
+        if not isinstance(av, int):  # symbolic trace: all lanes must agree
+            node = av % self.n
+            node.tape.assume_equal_const.append((node.nid, b % self.n))
         self.one_line([(a, -1)], b, (), None)
 
     def assert_bit(self, a) -> None:
@@ -340,7 +344,9 @@ class Context:
         """cond ? a : b in one row (5 advice cells; base_chip.rs:574-604)."""
         n = self.n
         cv = cond.value
-        c = (cond.val * _val(a) + (1 - cond.val) * _val(b)) % n
+        # written as cond*a + b - cond*b (not (1-cond)*b) so products stay on
+        # exact operands under symbolic tracing
+        c = (cond.val * _val(a) + _val(b) - cond.val * _val(b)) % n
         _, last = self.one_line_with_last(
             [(cv, 0), (a, 0), (cv, 0), (b, 1)],
             (c, n - 1),
@@ -368,7 +374,11 @@ class Context:
         reference base_chip.rs:497-500 + ecc_chip.rs:24-34).
         """
         self.one_line([(a.value, -1)], 0, (), None)
-        return a.val == 0
+        av = a.val
+        if not isinstance(av, int):  # symbolic trace: record lane assumption
+            node = av % self.n
+            node.tape.assume_equal_const.append((node.nid, 0))
+        return av == 0
 
     # ------------------------------------------------------------------
     # Range-region row emitters (reference: context.rs:835-997)

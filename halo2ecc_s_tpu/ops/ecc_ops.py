@@ -403,7 +403,38 @@ class EccContextBase(TowerOps, PairingOps):
     def pick_candidate_non_zero(self, candidates, group_bits):
         index_vec = [(b.value, 1 << i) for i, b in enumerate(group_bits)]
         index = self.ctx.sum_with_constant(index_vec, None)
-        return index, candidates[index.val & ((1 << 64) - 1)]
+        idx_val = index.val
+        if isinstance(idx_val, int):
+            return index, candidates[idx_val & ((1 << 64) - 1)]
+        # symbolic trace (batch engine): the picked candidate differs per
+        # lane — gather every coordinate value by the index node. Cells are
+        # irrelevant here: assign_selected_point_non_zero only consumes
+        # values (fresh select-region cells carry the result).
+        from ..batch.symbolic import assume_bits, gather
+
+        idx = assume_bits(idx_val, max(len(group_bits), 1))
+        v0 = idx_val.v0 & ((1 << 64) - 1)
+
+        def gather_av(avs):
+            syms = [
+                a.val if not isinstance(a.val, int) else idx._coerce(a.val)
+                for a in avs
+            ]
+            return AssignedValue(avs[v0].cell, gather(syms, idx, v0))
+
+        def gather_int(ints):
+            limbs = [
+                gather_av([c.limbs_le[j] for c in ints])
+                for j in range(len(ints[0].limbs_le))
+            ]
+            native = gather_av([c.native for c in ints])
+            return AssignedInteger(limbs, native, 1)
+
+        picked = AssignedNonZeroPoint(
+            gather_int([c.x for c in candidates]),
+            gather_int([c.y for c in candidates]),
+        )
+        return index, picked
 
     # ------------------------------------------------------------------
     # MSM engines

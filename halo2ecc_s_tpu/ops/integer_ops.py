@@ -110,9 +110,18 @@ class IntegerContext:
 
     def get_w_bn(self, a: AssignedInteger) -> int:
         info = self.info
+        # lazy limbs are bounded by times * 2^limb_bits; assume_bits keeps
+        # symbolic width bounds tight (no-op checked assert for plain ints)
+        from ..batch.symbolic import assume_bits
+
+        t_bits = max(a.times.bit_length(), 1) + 1
+        lead_bits = info.w_ceil_bits - (info.limbs - 1) * info.limb_bits
         res = 0
         for i in reversed(range(info.limbs)):
-            res = (res << info.limb_bits) + a.limbs_le[i].val
+            base = info.limb_bits if i < info.limbs - 1 else lead_bits
+            res = (res << info.limb_bits) + assume_bits(
+                a.limbs_le[i].val, base + t_bits
+            )
         return res
 
     def get_w(self, a: AssignedInteger) -> int:
@@ -148,19 +157,23 @@ class IntegerContext:
             None,
         )
 
+        from ..batch.symbolic import assume_bits, exact_sub
+
+        a_limb_bound = info.limb_bits + max(a.times.bit_length(), 1) + 1
         rem_limbs = info.bn_to_limbs(rem)
         last_v: Optional[AssignedValue] = None
         for i in range(info.reduce_check_limbs):
             last_borrow = overflow_limit if i != 0 else 0
             carry = last_v.val if last_v is not None else 0
-            u = (
+            # grouped so each subtraction is mathematically non-negative
+            # (limb_modulus*overflow_limit dominates a's limb; pre_check)
+            u = exact_sub(
                 d * info.w_modulus_limbs_le[i]
                 + rem_limbs[i]
-                + info.limb_modulus * overflow_limit
-                - a.limbs_le[i].val
-                + carry
-                - last_borrow
+                + info.limb_modulus * overflow_limit,
+                assume_bits(a.limbs_le[i].val, a_limb_bound),
             )
+            u = exact_sub(u + carry, last_borrow)
             v, v_rem = divmod(u, info.limb_modulus)
             assert v_rem == 0
             v_assigned = self.assign_nonleading_limb(v)
@@ -374,8 +387,12 @@ class IntegerContext:
         a_bn = self.get_w_bn(a_masked)
         b_bn = self.get_w_bn(b)
         b_inv = inv_mod(b_bn % info.w_modulus, info.w_modulus)
-        c = (a_bn * b_inv) % info.w_modulus if b_inv != 0 else 0
-        d_bn = (b_bn * c - a_bn) // info.w_modulus
+        # b == 0 implies a was masked to 0, so c = a * 0 = 0 uniformly —
+        # branch-free on purpose (lanes must not diverge under batch tracing)
+        from ..batch.symbolic import exact_sub
+
+        c = (a_bn * b_inv) % info.w_modulus
+        d_bn = exact_sub(b_bn * c, a_bn) // info.w_modulus
 
         c_assigned = self.assign_w(c)
         d_limbs, d_native = self.assign_d(d_bn)

@@ -36,9 +36,14 @@ BLS12_381_FR = int(
 BLS_X = 0xD201_0000_0001_0000  # |x|; the bls12-381 parameter is -x
 
 
-def inv_mod(a: int, p: int) -> int:
+def inv_mod(a, p: int):
     """Modular inverse; returns 0 for 0 (mirroring field `invert().unwrap_or(0)`
-    call sites which handle zero explicitly)."""
+    call sites which handle zero explicitly).
+
+    Symbolic values (batch tracing) take the Fermat path uniformly so lanes
+    with a == 0 still evaluate to 0 without divergent control flow."""
+    if not isinstance(a, int):
+        return pow(a % p, -1, p)
     a %= p
     if a == 0:
         return 0
