@@ -298,11 +298,18 @@ class Template:
         for a, b in probe.permutations:
             rec.permutation_blocks.append((rebase(a), rebase(b)))
 
-        # 6. map outputs
+        # 6. map outputs (values normalised to 16 limbs)
         def map_leaf(leaf: AssignedValue):
             cell = leaf.cell
             if isinstance(leaf.val, SymVal):
                 vals = out[leaf.val.nid]
+                if vals.shape[-1] < 16:
+                    vals = np.concatenate(
+                        [vals, np.zeros(vals.shape[:-1] + (16 - vals.shape[-1],), np.uint32)],
+                        axis=-1,
+                    )
+                else:
+                    vals = vals[..., :16]
             else:
                 vals = ff.ints_to_limbs([leaf.val] * B, 16)
             region, col, rows = rebase(cell)

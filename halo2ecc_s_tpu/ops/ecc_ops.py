@@ -133,6 +133,11 @@ class EccContextBase(TowerOps, PairingOps):
         """Assign with an in-circuit on-curve check (y^2 = x^3 + b or identity)."""
         x, y = pt if pt is not None else (0, 0)
         z = 1 if pt is None else 0
+        return self.assign_point_xyz(x, y, z)
+
+    def assign_point_xyz(self, x, y, z) -> AssignedPoint:
+        """assign_point with explicit coordinate/identity-flag values
+        (the batched path feeds per-lane values here)."""
         ic = self.base_ictx
         ax = ic.assign_w(x)
         ay = ic.assign_w(y)
