@@ -48,7 +48,7 @@ def main():
     from halo2ecc_s_tpu.utils.fields import BN254_FQ
     from halo2ecc_s_tpu.verify.mock_prover import run_circuit
 
-    B = int(os.environ.get("BENCH_BATCH", 1 << 15))
+    B = int(os.environ.get("BENCH_BATCH", 1 << 17))
     iters = int(os.environ.get("BENCH_ITERS", 8))
 
     def build(ctx, ins):
@@ -73,15 +73,18 @@ def main():
         return a, b
 
     # integrity: small batch through the host path + constraint verifier
-    rng = np.random.default_rng(7)
-    small = 4
-    av = rng.integers(0, 1 << 16, (small, 16), dtype=np.int64).astype(np.uint32)
-    bv = rng.integers(0, 1 << 16, (small, 16), dtype=np.int64).astype(np.uint32)
-    av[:, -1] &= 0x1FFF
-    bv[:, -1] &= 0x1FFF
-    ctx = Context()
-    tmpl.instantiate(ctx, {"a": av, "b": bv})
-    run_circuit(ctx, 20)
+    # (opt-in: it compiles a second evaluator shape, which is slow over the
+    # remote-TPU tunnel; the test suite covers the same path on CPU)
+    if os.environ.get("BENCH_VERIFY"):
+        rng = np.random.default_rng(7)
+        small = 4
+        av = rng.integers(0, 1 << 16, (small, 16), dtype=np.int64).astype(np.uint32)
+        bv = rng.integers(0, 1 << 16, (small, 16), dtype=np.int64).astype(np.uint32)
+        av[:, -1] &= 0x1FFF
+        bv[:, -1] &= 0x1FFF
+        ctx = Context()
+        tmpl.instantiate(ctx, {"a": av, "b": bv})
+        run_circuit(ctx, 20)
 
     # warmup / compile
     key = jax.random.PRNGKey(0)

@@ -45,6 +45,10 @@ _M64 = (1 << 64) - 1
 
 _START_ROWS = int(os.environ.get("HALO2ECC_TPU_START_ROWS", 1 << 13))
 
+# write-once sanity checking (reference SANITY_CHECK, context.rs:37,610-632):
+# asserts no cell is assigned twice with different values
+SANITY_CHECK = bool(os.environ.get("HALO2ECC_TPU_SANITY_CHECK"))
+
 
 def pack_u64x4(v: int) -> Tuple[int, int, int, int]:
     return (v & _M64, (v >> 64) & _M64, (v >> 128) & _M64, (v >> 192) & _M64)
@@ -106,13 +110,23 @@ class RegionTable:
     def write_adv(self, row: int, col: int, val: int) -> None:
         if row >= self.cap:
             self.ensure(row + 1)
-        self.adv_vals[row, col] = pack_u64x4(val)
+        packed = pack_u64x4(val)
+        if SANITY_CHECK and self.adv_set[row, col]:
+            assert tuple(self.adv_vals[row, col]) == packed, (
+                f"advice cell ({row},{col}) reassigned with a different value"
+            )
+        self.adv_vals[row, col] = packed
         self.adv_set[row, col] = 1
 
     def write_fix(self, row: int, col: int, val: int) -> None:
         if row >= self.cap:
             self.ensure(row + 1)
-        self.fix_vals[row, col] = pack_u64x4(val)
+        packed = pack_u64x4(val)
+        if SANITY_CHECK and self.fix_set[row, col]:
+            assert tuple(self.fix_vals[row, col]) == packed, (
+                f"fixed cell ({row},{col}) reassigned with a different value"
+            )
+        self.fix_vals[row, col] = packed
         self.fix_set[row, col] = 1
 
     # -- block writes (batched path) --
@@ -177,3 +191,43 @@ class Records:
     @property
     def select_height(self) -> int:
         return self.select.height
+
+    # -- debug helpers (reference: context.rs:59-132) --
+
+    def check_row_has_some(self, base_rows: int, range_rows: int, select_rows: int):
+        """Assert every used row has at least one fixed assignment
+        (reference check_row_has_some)."""
+        for name, tbl, rows in (
+            ("base", self.base, base_rows),
+            ("range", self.range, range_rows),
+            ("select", self.select, select_rows),
+        ):
+            if rows == 0:
+                continue
+            empty = ~self.region_has_fix(tbl, rows)
+            if empty.any():
+                bad = int(np.nonzero(empty)[0][0])
+                raise AssertionError(f"no assigned fix in {name} chip at row {bad}")
+
+    @staticmethod
+    def region_has_fix(tbl: RegionTable, rows: int):
+        return tbl.fix_set[:rows].any(axis=-1)
+
+    def dump_fix_rows(self, start: int, end: int) -> str:
+        """Human-readable fixed-cell dump (reference dump_fix_value)."""
+        lines = []
+        for name, tbl in (("base", self.base), ("range", self.range), ("select", self.select)):
+            for r in range(start, min(end, tbl.height)):
+                for c in range(tbl.n_fix):
+                    if tbl.fix_set[r, c]:
+                        v = tbl.fix_vals[r, c]
+                        val = int(v[0]) | (int(v[1]) << 64) | (int(v[2]) << 128) | (int(v[3]) << 192)
+                        lines.append(f"{name}_fix[{r}][{c}] = {val:#x}")
+        return "\n".join(lines)
+
+    def dump_permutations(self, limit: int = 50) -> str:
+        lines = [f"{i}: {a} <-> {b}" for i, (a, b) in enumerate(self.permutations[:limit])]
+        extra = len(self.permutations) - limit
+        if extra > 0:
+            lines.append(f"... and {extra} more pairs + {len(self.permutation_blocks)} blocks")
+        return "\n".join(lines)
