@@ -156,6 +156,12 @@ class Template:
 
     # -- fully device-resident emission (no host transfer) --
 
+    def device_emitter_raw(self):
+        """Unjitted emission fn (for wrapping in shard_map; see
+        parallel/mesh.py)."""
+        self.device_emitter()
+        return self._dev_emit_raw
+
     def device_emitter(self):
         """Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 16]}
         materialising each instance's advice slab in device memory. Constant
@@ -215,6 +221,7 @@ class Template:
 
         import jax
 
+        self._dev_emit_raw = emit
         self._dev_emit = jax.jit(emit)
         return self._dev_emit
 

@@ -57,9 +57,42 @@ def sharded_int_mul_witness(mesh: Mesh, axis: str = "points"):
     in_spec = P(axis, None)
     sharded = jax.shard_map(
         step, mesh=mesh, in_specs=(in_spec, in_spec),
-        out_specs=(P(axis, None), P()),
+        out_specs=(P(axis, None), P()), check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def sharded_template_witness(mesh: Mesh, template, axis: str = "points"):
+    """Shard a witness template's device emission over the mesh: each device
+    computes and materialises its own slab of instances' advice tables in its
+    HBM shard. Row offsets are static per instance, so no communication at
+    all — the pure data-parallel form of the reference's row-slab discipline.
+
+    Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 16]} with
+    the batch axis sharded over `axis`.
+    """
+    raw = template.device_emitter_raw()
+
+    def step(inputs):
+        return raw(inputs)
+
+    def specs_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree)
+
+    in_shape = {name: P(axis, None) for name, _ in _template_input_names(template)}
+    out_spec = {
+        ridx: P(axis, None, None, None)
+        for ridx, stride in enumerate(template.strides)
+        if stride != 0
+    }
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(in_shape,), out_specs=out_spec, check_vma=False
+    )
+    return jax.jit(sharded)
+
+
+def _template_input_names(template):
+    return [(name, bits) for (_, name, bits) in template.tape.inputs]
 
 
 def sharded_msm_bucket_reduce(mesh: Mesh, axis: str = "points"):
@@ -80,6 +113,6 @@ def sharded_msm_bucket_reduce(mesh: Mesh, axis: str = "points"):
         return ff.barrett_reduce(fr, ff.pad_limbs(red, 2 * fr.L))
 
     sharded = jax.shard_map(
-        step, mesh=mesh, in_specs=(P(axis, None),), out_specs=P()
+        step, mesh=mesh, in_specs=(P(axis, None),), out_specs=P(), check_vma=False
     )
     return jax.jit(sharded)
