@@ -347,12 +347,6 @@ class BatchMsm:
             ecc.assign_cache_point_non_zero(init, group_prefix + gi, 0)
 
         # candidate tables as value/row arrays [n_groups]
-        def point_tree_from_scalar(p: AssignedNonZeroPoint, B):
-            arrs, rws = {}, {}
-            _broadcast_scalar_int("tmpx", p.x, B, arrs, rws)
-            _broadcast_scalar_int("tmpy", p.y, B, arrs, rws)
-            return arrs, rws
-
         # build per-group candidate 0 arrays (alternating rand_line / neg)
         cand_arrays: List[Dict] = [None] * (1 << group_size)
         cand_rows: List[Dict] = [None] * (1 << group_size)

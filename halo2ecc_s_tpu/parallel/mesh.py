@@ -76,9 +76,6 @@ def sharded_template_witness(mesh: Mesh, template, axis: str = "points"):
     def step(inputs):
         return raw(inputs)
 
-    def specs_like(tree, spec):
-        return jax.tree.map(lambda _: spec, tree)
-
     in_shape = {name: P(axis, None) for name, _ in _template_input_names(template)}
     out_spec = {
         ridx: P(axis, None, None, None)
