@@ -19,8 +19,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: kernel graphs are reused across test runs
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+# persistent compile cache: kernel graphs are reused across test runs.
+# NOTE: separate directory from the TPU cache (bench.py) — the axon remote
+# compiler's entries segfault the CPU client on deserialization.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
