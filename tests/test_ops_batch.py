@@ -50,6 +50,28 @@ def test_batched_fq2_mul_matches_host():
     run_circuit(ctx, 21)
 
 
+@pytest.mark.skipif(
+    "HALO2ECC_TPU_RUN_XSLOW" not in __import__("os").environ,
+    reason="full batched pairing: ~30+ min; HALO2ECC_TPU_RUN_XSLOW=1 to run",
+)
+def test_batched_check_pairing_full():
+    """B independent pairing checks e(a,b)·e(-a,b)==1 through the batched
+    context — the proof-aggregation workload, end to end."""
+    B = 2
+    g1h, g2h = G1(CURVE), G2(CURVE)
+    g1_pts = [g1h.random(RNG) for _ in range(B)]
+    g2_pts = [g2h.random(RNG) for _ in range(B)]
+    neg_pts = [g1h.neg(p) for p in g1_pts]
+
+    ctx = Context()
+    bops = BatchedPairingOps(ctx, CURVE, B)
+    p = bops.assign_g1([q[0] for q in g1_pts], [q[1] for q in g1_pts])
+    pn = bops.assign_g1([q[0] for q in neg_pts], [q[1] for q in neg_pts])
+    q = bops.assign_g2(g2_pts)
+    bops.check_pairing([(p, q), (pn, q)])
+    run_circuit(ctx, 23)
+
+
 @pytest.mark.slow
 def test_batched_doubling_step_and_ell_matches_host():
     """Batched pairing-step chain: g2 assignment, doubling_step, ell — the
