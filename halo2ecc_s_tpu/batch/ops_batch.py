@@ -14,11 +14,11 @@ batched MSM exploits)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
-from ..core.assign import AssignedCondition, AssignedG2Affine, AssignedValue, Cell, Region
+from ..core.assign import AssignedCondition, AssignedG2Affine
 from ..core.context import Context
 from ..core.pairing_core import PairingOps
 from ..core.range_info import range_info

@@ -8,7 +8,7 @@ trace with fresh blinding randomness.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 from ..core.context import Context
 from ..ops.ecc_ops import (

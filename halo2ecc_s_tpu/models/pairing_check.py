@@ -6,7 +6,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 from ..ops.ecc_ops import GeneralScalarEccContext, NativeScalarEccContext
-from ..utils.fields import PairingCurve, bls12_381, bn254
+from ..utils.fields import PairingCurve, bn254
 
 
 def build_pairing_check_circuit(

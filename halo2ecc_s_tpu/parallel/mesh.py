@@ -13,13 +13,10 @@ the reference's offset-prediction trick (ecc_chip.rs:150-204).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels import ff_jax as ff
 from ..utils.fields import BN254_FQ, BN254_FR
