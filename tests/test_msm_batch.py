@@ -12,6 +12,19 @@ from halo2ecc_s_tpu.verify.mock_prover import run_circuit
 pytestmark = pytest.mark.slow
 
 
+def test_msm_batch_50_points():
+    """Larger batched MSM (10 groups x 254 windows); opt-in via XSLOW."""
+    import os
+
+    if "HALO2ECC_TPU_RUN_XSLOW" not in os.environ:
+        pytest.skip("set HALO2ECC_TPU_RUN_XSLOW=1")
+    points, scalars, expect = random_msm_instance(50, seed=8)
+    bm = BatchMsm()
+    ecc, res = bm.build(points, scalars, seed=99)
+    ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    run_circuit(ecc.ctx, 23)
+
+
 def test_msm_batch_10_points():
     points, scalars, expect = random_msm_instance(10, seed=3)
     # exercise identity/zero normalisation
