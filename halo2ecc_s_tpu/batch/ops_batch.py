@@ -213,13 +213,15 @@ class BatchedPairingOps(TowerOps, PairingOps):
                 p = e.assign_point_xyz(ins["x"], ins["y"], 0)
                 return p
 
+            fb = self.curve.fq_bits
             self._tmpl[key] = Template.trace(
-                build, {"x": (254, xs[0]), "y": (254, ys[0])}, n_modulus=self.ctx.n
+                build, {"x": (fb, xs[0]), "y": (fb, ys[0])}, n_modulus=self.ctx.n
             )
         tmpl = self._tmpl[key]
+        Lw = ff.n_limbs_for(self.curve.p)
         out = tmpl.instantiate(
             self.ctx,
-            {"x": ff.ints_to_limbs(xs, 16), "y": ff.ints_to_limbs(ys, 16)},
+            {"x": ff.ints_to_limbs(xs, Lw), "y": ff.ints_to_limbs(ys, Lw)},
         )
         return BG1(BInt.from_tree(out["x"]), BInt.from_tree(out["y"]), out["z"])
 
@@ -236,19 +238,21 @@ class BatchedPairingOps(TowerOps, PairingOps):
                 g = e.assign_g2(((ins["x0"], ins["x1"]), (ins["y0"], ins["y1"])))
                 return {"x": g.x, "y": g.y, "z": g.z}
 
+            fb = self.curve.fq_bits
             self._tmpl[key] = Template.trace(
                 build,
-                {"x0": (254, x0), "x1": (254, x1), "y0": (254, y0), "y1": (254, y1)},
+                {"x0": (fb, x0), "x1": (fb, x1), "y0": (fb, y0), "y1": (fb, y1)},
                 n_modulus=self.ctx.n,
             )
         tmpl = self._tmpl[key]
+        Lw = ff.n_limbs_for(self.curve.p)
         out = tmpl.instantiate(
             self.ctx,
             {
-                "x0": ff.ints_to_limbs([p[0][0] for p in g2_points], 16),
-                "x1": ff.ints_to_limbs([p[0][1] for p in g2_points], 16),
-                "y0": ff.ints_to_limbs([p[1][0] for p in g2_points], 16),
-                "y1": ff.ints_to_limbs([p[1][1] for p in g2_points], 16),
+                "x0": ff.ints_to_limbs([p[0][0] for p in g2_points], Lw),
+                "x1": ff.ints_to_limbs([p[0][1] for p in g2_points], Lw),
+                "y0": ff.ints_to_limbs([p[1][0] for p in g2_points], Lw),
+                "y1": ff.ints_to_limbs([p[1][1] for p in g2_points], Lw),
             },
         )
         x = (BInt.from_tree(out["x"][0]), BInt.from_tree(out["x"][1]))

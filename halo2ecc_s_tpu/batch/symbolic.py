@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-MAX_BITS = 16 * 40  # sanity cap on any node's width
+MAX_BITS = 16 * 56  # sanity cap on any node width (wide enough for 381-bit fields)
 
 
 @dataclass
@@ -60,6 +60,9 @@ class Tape:
         return len(self.nodes) - 1
 
     def input(self, name: str, v0: int, bits: int) -> "SymVal":
+        assert 0 <= v0 < (1 << bits), (
+            f"input '{name}' sample {v0.bit_length()} bits exceeds declared {bits}"
+        )
         nid = self.push(Node("input", (), None, bits, 0))
         self.inputs.append((nid, name, bits))
         return SymVal(self, nid, v0)

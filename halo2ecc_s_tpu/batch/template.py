@@ -274,7 +274,24 @@ class Template:
             tbl.fix_vals[rows] = np.tile(ptbl.fix_vals[:stride], (B, 1, 1))
             tbl.fix_set[rows] = np.tile(ptbl.fix_set[:stride], (B, 1))
 
-        # 2. evaluate the tape
+        # 2. evaluate the tape (after validating arrays fit declared widths —
+        # the evaluator truncates to the declared limb count, so oversized
+        # values would silently corrupt witnesses)
+        declared = {name: bits for (_, name, bits) in self.tape.inputs}
+        for name, arr in inputs.items():
+            bits = declared.get(name)
+            if bits is None:
+                continue
+            L = (bits + 15) // 16
+            if arr.shape[-1] > L and np.any(arr[..., L:]):
+                raise ValueError(
+                    f"input '{name}' has values wider than its declared {bits} bits"
+                )
+            rem = bits % 16
+            if rem and np.any(arr[..., L - 1] >> rem):
+                raise ValueError(
+                    f"input '{name}' top limb exceeds declared {bits} bits"
+                )
         out = self.evaluator()(inputs)
         out = {k: np.asarray(v) for k, v in out.items()}
 

@@ -19,14 +19,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: kernel graphs are reused across test runs.
-# NOTE: separate directory from the TPU cache (bench.py) — the axon remote
-# compiler's entries segfault the CPU client on deserialization.
-_cache_dir = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"
-)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache for CPU tests: on this host the XLA:CPU AOT
+# cache loader reports a machine-feature mismatch ("+prefer-no-scatter ...
+# could lead to execution errors") and has been observed to SILENTLY
+# MISCOMPUTE loaded executables (and to segfault). Witness correctness beats
+# warm-cache speed; the TPU cache used by bench.py goes through the TPU
+# runtime and is unaffected. Opt back in with HALO2ECC_TPU_CPU_CACHE=1.
+if os.environ.get("HALO2ECC_TPU_CPU_CACHE"):
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
