@@ -44,12 +44,37 @@ def live_nodes(tape: Tape, roots: Sequence[int]) -> List[int]:
     return sorted(needed)
 
 
-def build_evaluator(tape: Tape, roots: Sequence[int]):
+def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool = False):
     """Returns fn(inputs: dict name -> u32[B, limbs]) -> dict nid -> u32[B, limbs]
-    computing exactly the live nodes; call through jax.jit."""
+    computing exactly the live nodes; call through jax.jit.
+
+    fuse_pallas_modmul: lower mod(mul(a, b), m) pairs (where the product has
+    no other consumer) through the fused Pallas kernel — TPU only, opt-in."""
     order = live_nodes(tape, roots)
     input_names = {nid: name for nid, name, _ in tape.inputs}
     roots_set = set(roots)
+
+    fused: dict = {}
+    if fuse_pallas_modmul:
+        consumers: Dict[int, int] = {}
+        for nid in order:
+            for a in tape.nodes[nid].args:
+                consumers[a] = consumers.get(a, 0) + 1
+        for nid in order:
+            node = tape.nodes[nid]
+            if node.op != "mod":
+                continue
+            src = tape.nodes[node.args[0]]
+            if (
+                src.op == "mul"
+                and consumers.get(node.args[0], 0) == 1
+                and node.args[0] not in roots_set
+                and ff.n_limbs_for(node.const) == 16
+                # Barrett in the kernel is exact for any product < 2^512
+                and all(tape.nodes[a].bits <= 256 for a in src.args)
+            ):
+                fused[nid] = (src.args[0], src.args[1], node.const)
+    fused_muls = {tape.nodes[nid].args[0] for nid in fused}
 
     def fn(inputs: Dict[str, jnp.ndarray]):
         vals: Dict[int, jnp.ndarray] = {}
@@ -61,6 +86,14 @@ def build_evaluator(tape: Tape, roots: Sequence[int]):
         for nid in order:
             node: Node = tape.nodes[nid]
             op = node.op
+            if nid in fused_muls:
+                continue  # consumed by a fused pallas mulmod
+            if nid in fused:
+                from .modmul_pallas_bridge import fused_mul_mod
+
+                a_id, b_id, m = fused[nid]
+                vals[nid] = fused_mul_mod(m, vals[a_id], vals[b_id], _limbs(node.bits))
+                continue
             if op == "input":
                 arr = inputs[input_names[nid]]
                 vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))

@@ -12,6 +12,8 @@ permutations — including cross-template chaining through "assigned inputs"
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -151,7 +153,10 @@ class Template:
 
     def evaluator(self):
         if self._eval is None:
-            self._eval = jax.jit(build_evaluator(self.tape, tuple(self._roots())))
+            fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
+            self._eval = jax.jit(
+                build_evaluator(self.tape, tuple(self._roots()), fuse_pallas_modmul=fuse)
+            )
         return self._eval
 
     # -- fully device-resident emission (no host transfer) --
@@ -179,7 +184,8 @@ class Template:
         probe = self.ctx.records
         strides = self.strides
         roots = tuple(self._roots())
-        ev = build_evaluator(self.tape, roots)
+        fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
+        ev = build_evaluator(self.tape, roots, fuse_pallas_modmul=fuse)
 
         region_info = []
         for ridx, ptbl in enumerate([probe.base, probe.range, probe.select]):
