@@ -165,4 +165,5 @@ def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool =
 
         return {nid: vals[nid] for nid in roots_set}
 
+    fn.fused_count = len(fused)
     return fn

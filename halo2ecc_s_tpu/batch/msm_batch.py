@@ -439,6 +439,15 @@ class BatchMsm:
         # bits arrays: bit (window-major) values/rows for scalar j
         bit_vals = []  # [n_pts] of u32[windows,16]
         bit_rows = []
+        # all windows' decomposed bits must share (region, col) — the rows
+        # below are rebased against window 0's leaf (same uniformity check
+        # mk_point_arrays performs; a layout change must fail here, loudly)
+        _reg0, _col0, _ = _leaf_rows(out_dec[0])
+        for wi in range(windows):
+            _r, _c, _ = _leaf_rows(out_dec[wi])
+            assert (_r, _c) == (_reg0, _col0), (
+                "decompose_scalar bit cells must share (region, col) across windows"
+            )
         for j in range(n_pts):
             vals = np.stack([_leaf_vals(out_dec[wi])[j] for wi in range(windows)])
             reg, col, _ = _leaf_rows(out_dec[0])

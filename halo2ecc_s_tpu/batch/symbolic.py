@@ -43,6 +43,9 @@ class Tape:
         # trace-time assumptions that must hold on EVERY lane; checked at
         # instantiation (UnsafeError retry protocol for divergence)
         self.assume_equal_const: List[Tuple[int, int]] = []  # (node, const)
+        # width assumptions: (pre-truncation node, k) — instantiate() checks
+        # every lane's pre-truncation value fits k bits (loud, never silent)
+        self.assume_checks: List[Tuple[int, int]] = []
         self._cse: Dict[Tuple, int] = {}
 
     def push(self, node: Node) -> int:
@@ -316,6 +319,7 @@ def assume_bits(v, k: int):
     assert 0 <= v.v0 < (1 << k)
     if node.bits <= k:
         return v
+    v.tape.assume_checks.append((v.nid, k))
     nid = v.tape.push(Node("assume", (v.nid,), k, k, 0))
     return SymVal(v.tape, nid, v.v0)
 

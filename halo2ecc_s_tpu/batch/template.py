@@ -149,7 +149,29 @@ class Template:
                 roots.append(leaf.val.nid)
         for nid, _ in self.tape.assume_equal_const:
             roots.append(nid)
+        for nid, _ in self.tape.assume_checks:
+            roots.append(nid)
         return sorted(set(roots))
+
+    def _validate_input_widths(self, inputs: Dict[str, np.ndarray]):
+        """Raise if a host input array is wider than its declared bits — the
+        evaluator truncates to the declared limb count, so oversized values
+        would otherwise silently corrupt witnesses."""
+        declared = {name: bits for (_, name, bits) in self.tape.inputs}
+        for name, arr in inputs.items():
+            bits = declared.get(name)
+            if bits is None or not isinstance(arr, np.ndarray):
+                continue
+            L = (bits + 15) // 16
+            if arr.shape[-1] > L and np.any(arr[..., L:]):
+                raise ValueError(
+                    f"input '{name}' has values wider than its declared {bits} bits"
+                )
+            rem = bits % 16
+            if rem and np.any(arr[..., L - 1] >> rem):
+                raise ValueError(
+                    f"input '{name}' top limb exceeds declared {bits} bits"
+                )
 
     def evaluator(self):
         if self._eval is None:
@@ -175,6 +197,11 @@ class Template:
 
         This is the full TPU witness path: values AND table layout live in
         HBM, where a device-side prover would consume them.
+
+        Input contract: numpy inputs are validated against declared widths
+        before dispatch; callers passing device arrays (e.g. bench.py's jitted
+        generator, shard_map via device_emitter_raw) must themselves guarantee
+        the declared widths — oversized values are truncated by the evaluator.
         """
         if getattr(self, "_dev_emit", None) is not None:
             return self._dev_emit
@@ -228,7 +255,17 @@ class Template:
         import jax
 
         self._dev_emit_raw = emit
-        self._dev_emit = jax.jit(emit)
+        jitted = jax.jit(emit)
+
+        def checked(inputs):
+            # validate host-resident (numpy) inputs against declared widths;
+            # device arrays / tracers are the caller's contract (validating
+            # them would force a host sync per dispatch) — see device_emitter
+            # docstring.
+            self._validate_input_widths(inputs)
+            return jitted(inputs)
+
+        self._dev_emit = checked
         return self._dev_emit
 
     def instantiate(
@@ -283,21 +320,7 @@ class Template:
         # 2. evaluate the tape (after validating arrays fit declared widths —
         # the evaluator truncates to the declared limb count, so oversized
         # values would silently corrupt witnesses)
-        declared = {name: bits for (_, name, bits) in self.tape.inputs}
-        for name, arr in inputs.items():
-            bits = declared.get(name)
-            if bits is None:
-                continue
-            L = (bits + 15) // 16
-            if arr.shape[-1] > L and np.any(arr[..., L:]):
-                raise ValueError(
-                    f"input '{name}' has values wider than its declared {bits} bits"
-                )
-            rem = bits % 16
-            if rem and np.any(arr[..., L - 1] >> rem):
-                raise ValueError(
-                    f"input '{name}' top limb exceeds declared {bits} bits"
-                )
+        self._validate_input_widths(inputs)
         out = self.evaluator()(inputs)
         out = {k: np.asarray(v) for k, v in out.items()}
 
@@ -307,6 +330,23 @@ class Template:
             want = ff.int_to_limbs(const, arr.shape[-1])
             if not np.array_equal(arr, np.broadcast_to(want, arr.shape)):
                 raise UnsafeError("lane diverged from traced control flow")
+        # width assumptions (assume_bits): pre-truncation value must fit k
+        # bits on EVERY lane, else the 'assume' node silently truncated —
+        # fail loudly per the symbolic-tape invariant
+        for nid, k in set(self.tape.assume_checks):
+            arr = out[nid]
+            L = (k + 15) // 16
+            bad = False
+            if arr.shape[-1] > L and np.any(arr[..., L:]):
+                bad = True
+            rem = k % 16
+            if not bad and rem and np.any(arr[..., L - 1] >> rem):
+                bad = True
+            if bad:
+                raise ValueError(
+                    f"assume_bits({k}) violated on a lane (node {nid}): "
+                    "input invariants do not hold for this batch"
+                )
 
         # 4. scatter captured value blocks
         for ridx, (tbl, ptbl) in enumerate(

@@ -28,86 +28,93 @@ class PairingOps:
     # ------------------------------------------------------------------
 
     def doubling_step(self, pt: AssignedG2):
-        x2 = self.fq2_square(pt.x)
+        """Tangent-line doubling of the Jacobian accumulator T, returning the
+        sparse line coefficients [c0, c1, c2]. The fq2-op ORDER is part of the
+        row-layout contract (templates/verifier assume it); the formulas are
+        the standard ones from eprint 2010/354 §4."""
+        x_sq = self.fq2_square(pt.x)
 
-        y2 = self.fq2_square(pt.y)
-        _2y2 = self.fq2_double(y2)
-        _4y2 = self.fq2_double(_2y2)
-        _4y4 = self.fq2_square(_2y2)
-        _8y4 = self.fq2_double(_4y4)
+        y_sq = self.fq2_square(pt.y)
+        two_y_sq = self.fq2_double(y_sq)
+        four_y_sq = self.fq2_double(two_y_sq)
+        four_y_quad = self.fq2_square(two_y_sq)
+        eight_y_quad = self.fq2_double(four_y_quad)
 
-        z2 = self.fq2_square(pt.z)
+        z_sq = self.fq2_square(pt.z)
 
-        t = self.fq2_mul(y2, pt.x)
-        t = self.fq2_double(t)
-        _4xy2 = self.fq2_double(t)
+        acc = self.fq2_mul(y_sq, pt.x)
+        acc = self.fq2_double(acc)
+        four_x_y_sq = self.fq2_double(acc)  # D = 4*x*y^2
 
-        t = self.fq2_double(x2)
-        _3x2 = self.fq2_add(t, x2)
-        _6x2 = self.fq2_double(_3x2)
-        _9x4 = self.fq2_square(_3x2)
+        acc = self.fq2_double(x_sq)
+        tangent = self.fq2_add(acc, x_sq)  # E = 3*x^2 (tangent slope numerator)
+        two_tangent = self.fq2_double(tangent)
+        tangent_sq = self.fq2_square(tangent)  # F = E^2
 
-        t = self.fq2_sub(_9x4, _4xy2)
-        rx = self.fq2_sub(t, _4xy2)
+        acc = self.fq2_sub(tangent_sq, four_x_y_sq)
+        out_x = self.fq2_sub(acc, four_x_y_sq)  # x' = F - 2D
 
-        t = self.fq2_sub(_4xy2, rx)
-        t = self.fq2_mul(t, _3x2)
-        ry = self.fq2_sub(t, _8y4)
+        acc = self.fq2_sub(four_x_y_sq, out_x)
+        acc = self.fq2_mul(acc, tangent)
+        out_y = self.fq2_sub(acc, eight_y_quad)  # y' = E*(D - x') - 8*y^4
 
-        yz = self.fq2_mul(pt.y, pt.z)
-        rz = self.fq2_double(yz)
+        y_z = self.fq2_mul(pt.y, pt.z)
+        out_z = self.fq2_double(y_z)  # z' = 2*y*z
 
-        t = self.fq2_mul(z2, rz)
-        c0 = self.fq2_double(t)
+        acc = self.fq2_mul(z_sq, out_z)
+        line_c0 = self.fq2_double(acc)  # 2*z'*z^2
 
-        _6x2z2 = self.fq2_mul(z2, _6x2)
-        c1 = self.fq2_neg(_6x2z2)
+        two_tangent_z_sq = self.fq2_mul(z_sq, two_tangent)
+        line_c1 = self.fq2_neg(two_tangent_z_sq)  # -6*x^2*z^2
 
-        _6x3 = self.fq2_mul(_6x2, pt.x)
-        c2 = self.fq2_sub(_6x3, _4y2)
+        two_tangent_x = self.fq2_mul(two_tangent, pt.x)
+        line_c2 = self.fq2_sub(two_tangent_x, four_y_sq)  # 6*x^3 - 4*y^2
 
-        pt.x, pt.y, pt.z = rx, ry, rz
-        return [c0, c1, c2]
+        pt.x, pt.y, pt.z = out_x, out_y, out_z
+        return [line_c0, line_c1, line_c2]
 
     def addition_step(self, pt: AssignedG2, pq: AssignedG2Affine):
-        zt2 = self.fq2_square(pt.z)
-        yqzt = self.fq2_mul(pq.y, pt.z)
-        yqzt3 = self.fq2_mul(yqzt, zt2)
-        yqzt3_yt = self.fq2_sub(yqzt3, pt.y)
-        _2yqzt3_2yt = self.fq2_double(yqzt3_yt)
+        """Chord-line mixed addition T += Q (Q affine), returning the line
+        coefficients. Uses the theta/lambda notation of eprint 2010/354:
+        theta = yQ*zT^3 - yT, lam = xQ*zT^2 - xT. Op order is layout-fixed."""
+        z_t_sq = self.fq2_square(pt.z)
+        yq_z = self.fq2_mul(pq.y, pt.z)
+        yq_z_cubed = self.fq2_mul(yq_z, z_t_sq)
+        theta = self.fq2_sub(yq_z_cubed, pt.y)
+        two_theta = self.fq2_double(theta)
 
-        xqzt2 = self.fq2_mul(pq.x, zt2)
-        xqzt2_xt = self.fq2_sub(xqzt2, pt.x)
-        _2_xqzt2_xt = self.fq2_double(xqzt2_xt)
-        _4_xqzt2_xt_2 = self.fq2_square(_2_xqzt2_xt)
+        xq_z_sq = self.fq2_mul(pq.x, z_t_sq)
+        lam = self.fq2_sub(xq_z_sq, pt.x)
+        two_lam = self.fq2_double(lam)
+        four_lam_sq = self.fq2_square(two_lam)
 
-        t0 = self.fq2_mul(_4_xqzt2_xt_2, xqzt2_xt)
-        t1 = self.fq2_double(_4_xqzt2_xt_2)
-        t2 = self.fq2_mul(t1, pt.x)
-        t = self.fq2_square(_2yqzt3_2yt)
-        t = self.fq2_sub(t, t0)
-        rx = self.fq2_sub(t, t2)
+        lam_cubed4 = self.fq2_mul(four_lam_sq, lam)  # 4*lam^3
+        acc = self.fq2_double(four_lam_sq)
+        x_lam_sq8 = self.fq2_mul(acc, pt.x)  # 8*xT*lam^2
+        acc = self.fq2_square(two_theta)
+        acc = self.fq2_sub(acc, lam_cubed4)
+        out_x = self.fq2_sub(acc, x_lam_sq8)  # x' = 4theta^2 - 4lam^3 - 8xT*lam^2
 
-        t0b = self.fq2_mul(_4_xqzt2_xt_2, pt.x)
-        t0b = self.fq2_sub(t0b, rx)
-        t0b = self.fq2_mul(_2yqzt3_2yt, t0b)
-        t1b = self.fq2_mul(_2_xqzt2_xt, _4_xqzt2_xt_2)
-        t1b = self.fq2_mul(t1b, pt.y)
-        ry = self.fq2_sub(t0b, t1b)
+        chord = self.fq2_mul(four_lam_sq, pt.x)
+        chord = self.fq2_sub(chord, out_x)
+        chord = self.fq2_mul(two_theta, chord)
+        y_corr = self.fq2_mul(two_lam, four_lam_sq)
+        y_corr = self.fq2_mul(y_corr, pt.y)
+        out_y = self.fq2_sub(chord, y_corr)
 
-        rz = self.fq2_mul(pt.z, _2_xqzt2_xt)
+        out_z = self.fq2_mul(pt.z, two_lam)
 
-        c0 = self.fq2_double(rz)
-        t = self.fq2_double(_2yqzt3_2yt)
-        c1 = self.fq2_neg(t)
-        t0c = self.fq2_double(_2yqzt3_2yt)
-        t0c = self.fq2_mul(t0c, pq.x)
-        t1c = self.fq2_mul(pq.y, rz)
-        t1c = self.fq2_double(t1c)
-        c2 = self.fq2_sub(t0c, t1c)
+        line_c0 = self.fq2_double(out_z)
+        acc = self.fq2_double(two_theta)
+        line_c1 = self.fq2_neg(acc)
+        theta_xq = self.fq2_double(two_theta)
+        theta_xq = self.fq2_mul(theta_xq, pq.x)
+        yq_z_new = self.fq2_mul(pq.y, out_z)
+        yq_z_new = self.fq2_double(yq_z_new)
+        line_c2 = self.fq2_sub(theta_xq, yq_z_new)
 
-        pt.x, pt.y, pt.z = rx, ry, rz
-        return [c0, c1, c2]
+        pt.x, pt.y, pt.z = out_x, out_y, out_z
+        return [line_c0, line_c1, line_c2]
 
     def g2affine_to_g2(self, g2: AssignedG2Affine) -> AssignedG2:
         # identity not supported
