@@ -40,6 +40,41 @@ import numpy as np
 REFERENCE_ROWS_PER_SEC = 160e6
 
 
+def bench_msm(n_points: int, iters: int):
+    """Batched MSM witness generation, device-resident pipeline (the
+    flagship workload: ecc_chip.rs:223-371). End-to-end per build: host
+    layout + jitted per-phase value/slab emitters chained on device + one
+    fetch into Records + scalar final accumulation. Returns
+    (points_per_sec, rows_per_sec, total_rows)."""
+    from halo2ecc_s_tpu.batch.msm_batch import BatchMsm
+    from halo2ecc_s_tpu.models.msm import random_msm_instance
+
+    points, scalars, _ = random_msm_instance(n_points, seed=11)
+    bm = BatchMsm()
+    # warmup: template traces + jit compiles (persistent-cached)
+    t0 = time.perf_counter()
+    ecc, _res = bm.build(points, scalars, seed=1, device=True, write_tables=False)
+    warm_secs = time.perf_counter() - t0
+    total_rows = sum(ecc.ctx.offsets())
+    print(f"# msm warmup build: {warm_secs:.1f}s, {total_rows} rows", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        bm.build(points, scalars, seed=i + 2, device=True, write_tables=False)
+    dt = time.perf_counter() - t0
+    pts_per_sec = n_points * iters / dt
+    rows_per_sec = total_rows * iters / dt
+    print(
+        f"# msm witness gen: {pts_per_sec:.1f} points/s, "
+        f"{rows_per_sec/1e6:.1f}M rows/s; n={n_points} iters={iters} "
+        f"rows/build={total_rows} (advice slabs device-resident in HBM; "
+        f"safety flags + chained outputs fetched; Records host writes "
+        f"skipped — verified end-to-end by tests/test_msm_batch.py)",
+        file=sys.stderr,
+    )
+    return pts_per_sec, rows_per_sec, total_rows
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -123,16 +158,36 @@ def main():
         f"backend={jax.devices()[0].platform}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "witness_gen_rows_per_sec",
-                "value": round(rows_per_sec, 1),
-                "unit": "rows/s",
-                "vs_baseline": round(rows_per_sec / REFERENCE_ROWS_PER_SEC, 3),
+
+    # flagship workload: batched MSM witness generation (device-resident),
+    # the reference's north-star metric. Falls back to the int_mul headline
+    # if the MSM bench fails (cold-compile timeout etc).
+    result = {
+        "metric": "witness_gen_rows_per_sec",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / REFERENCE_ROWS_PER_SEC, 3),
+    }
+    if not os.environ.get("BENCH_SKIP_MSM"):
+        try:
+            n_msm = int(os.environ.get("BENCH_MSM_POINTS", 500))
+            msm_iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
+            pts_s, msm_rows_s, msm_rows = bench_msm(n_msm, msm_iters)
+            result = {
+                "metric": "msm_witness_points_per_sec",
+                "value": round(pts_s, 1),
+                "unit": "points/s",
+                # rows-normalised ratio vs the measured 64-core proxy
+                "vs_baseline": round(msm_rows_s / REFERENCE_ROWS_PER_SEC, 3),
+                "msm_points": n_msm,
+                "msm_rows_per_build": msm_rows,
+                "msm_rows_per_sec": round(msm_rows_s, 1),
+                "int_mul_rows_per_sec": round(rows_per_sec, 1),
+                "int_mul_vs_baseline": round(rows_per_sec / REFERENCE_ROWS_PER_SEC, 3),
             }
-        )
-    )
+        except Exception as e:  # pragma: no cover
+            print(f"# msm bench failed: {e!r}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -97,6 +97,11 @@ def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool =
             if op == "input":
                 arr = inputs[input_names[nid]]
                 vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))
+            elif op == "input_vec":
+                arr = inputs[input_names[nid]]  # [B, K, limbs]
+                vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))
+            elif op == "pick":
+                vals[nid] = vals[node.args[0]][:, node.const]
             elif op == "const":
                 vals[nid] = jnp.broadcast_to(
                     _const_arr(node.const, _limbs(node.bits)), (B, _limbs(node.bits))

@@ -17,8 +17,29 @@ equality and full constraint verification are the correctness criteria
 
 from __future__ import annotations
 
+import os
 import random
+import sys
+import time
 from typing import Dict, List, Optional, Tuple
+
+_PROFILE = bool(os.environ.get("HALO2ECC_TPU_PROFILE"))
+# PROFILE_SYNC additionally blocks on all queued device work at each mark, so
+# per-phase times include device execution (otherwise async dispatch defers
+# everything to the drain)
+_PROFILE_SYNC = bool(os.environ.get("HALO2ECC_TPU_PROFILE_SYNC"))
+
+
+def _phase_mark(label: str, t0: float, sync_obj=None) -> float:
+    if _PROFILE:
+        if _PROFILE_SYNC and sync_obj is not None:
+            import jax
+
+            jax.block_until_ready(sync_obj)
+        t = time.perf_counter()
+        print(f"# msm phase {label}: {t - t0:.3f}s", file=sys.stderr, flush=True)
+        return t
+    return t0
 
 import numpy as np
 
@@ -31,14 +52,23 @@ from ..core.assign import (
     Region,
 )
 from ..core.context import Context
-from ..core.records import SELECT_FIX_ENCODE, pack_u64x4
+from ..core.records import SELECT_FIX_ENCODE, mod_add_u64x4, pack_u64x4
 from ..kernels import ff_jax as ff
 from ..ops.ecc_ops import NativeScalarEccContext, UnsafeError
 from ..utils.curves import G1
 from ..utils.fields import PairingCurve, bn254
-from .template import AssignedInput, Template
+from .template import AssignedInput, Template, finalize_deferred, tree_to_numpy
 
 _DUMMY = Cell(Region.BASE, 0, 0)
+
+
+def _cand_in_name(sel: bool, k: int, coord: str, j) -> str:
+    """Window-template input name for candidate k's coord leaf (j=0..2 limb,
+    None=native). Select variant uses plain inputs; bisec variant assigned."""
+    if sel:
+        return f"c{k}_{coord}n" if j is None else f"c{k}_{coord}l{j}"
+    return f"c{k}{coord}_native" if j is None else f"c{k}{coord}_l{j}"
+
 
 
 def _leaf_vals(leaf) -> np.ndarray:
@@ -51,6 +81,7 @@ def _leaf_rows(leaf):
 
 def _unbatch_value(leaf, lane: int) -> AssignedValue:
     vals, (region, col, rows) = leaf
+    vals = np.asarray(vals)  # device arrays sync here (trace-time only)
     return AssignedValue(
         Cell(region, col, int(rows[lane])), ff.limbs_to_int(vals[lane])
     )
@@ -119,9 +150,15 @@ class BatchMsm:
     Templates are traced lazily and cached across calls (compiles persist via
     the jax compilation cache)."""
 
-    def __init__(self, curve: Optional[PairingCurve] = None):
+    def __init__(self, curve: Optional[PairingCurve] = None,
+                 with_select_chip: bool = True):
+        """with_select_chip=False is the reference's group-2 variant
+        (ecc_chip.rs:91-221): candidates chosen by in-circuit binary bisec
+        trees instead of select-chip lookups; group size 2."""
         self.curve = curve or bn254()
         self.g1 = G1(self.curve)
+        self.with_select = with_select_chip
+        self.group_size = 5 if with_select_chip else 2
         self._templates: Dict[object, Template] = {}
 
     # ------------------------------------------------------------------
@@ -139,8 +176,10 @@ class BatchMsm:
 
         curve = self.curve
 
+        sel = self.with_select
+
         def build(ctx, ins):
-            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=True)
+            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=sel)
             p = e.assign_point_xyz(ins["x"], ins["y"], ins["z"])
             s = ctx.assign(ins["s"])
             s_z = ins["s_zero"]
@@ -171,8 +210,10 @@ class BatchMsm:
             return self._templates[key]
         curve = self.curve
 
+        sel = self.with_select
+
         def build(ctx, ins):
-            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=True)
+            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=sel)
             bits = e.decompose_scalar(ins["s"], 1)
             return [b[0] for b in bits]  # windows-major list of conditions
 
@@ -193,13 +234,16 @@ class BatchMsm:
         curve = self.curve
         lb, lead = self._limb_params(ecc)
 
+        sel = self.with_select
+
         def build(ctx, ins):
-            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=True)
+            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=sel)
             a = AssignedNonZeroPoint(_int_from_ins(ins, "ax", 1), _int_from_ins(ins, "ay", 1))
             b = AssignedNonZeroPoint(_int_from_ins(ins, "bx", 1), _int_from_ins(ins, "by", 1))
             s = e.ecc_add_unsafe(a, b)
             r = e.ecc_reduce_non_zero(s)
-            e.assign_cache_point_non_zero(r, g0, sc0)
+            if sel:
+                e.assign_cache_point_non_zero(r, g0, sc0)
             return r
 
         assigned = (
@@ -220,42 +264,63 @@ class BatchMsm:
             return self._templates[key]
         curve = self.curve
         lb, lead = self._limb_params(ecc)
+        sel = self.with_select
 
         def build(ctx, ins):
-            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=True)
+            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=sel)
             bits = [AssignedCondition(ins[f"bit{i}"]) for i in range(group_size)]
             cands = []
             for k in range(1 << group_size):
-                x = AssignedInteger(
-                    [AssignedValue(_DUMMY, ins[f"c{k}_xl{j}"]) for j in range(3)],
-                    AssignedValue(_DUMMY, ins[f"c{k}_xn"]), 1,
-                )
-                y = AssignedInteger(
-                    [AssignedValue(_DUMMY, ins[f"c{k}_yl{j}"]) for j in range(3)],
-                    AssignedValue(_DUMMY, ins[f"c{k}_yn"]), 1,
-                )
-                cands.append(AssignedNonZeroPoint(x, y))
+                if sel:
+                    x = AssignedInteger(
+                        [AssignedValue(_DUMMY, ins[f"c{k}_xl{j}"]) for j in range(3)],
+                        AssignedValue(_DUMMY, ins[f"c{k}_xn"]), 1,
+                    )
+                    y = AssignedInteger(
+                        [AssignedValue(_DUMMY, ins[f"c{k}_yl{j}"]) for j in range(3)],
+                        AssignedValue(_DUMMY, ins[f"c{k}_yn"]), 1,
+                    )
+                    cands.append(AssignedNonZeroPoint(x, y))
+                else:
+                    cands.append(AssignedNonZeroPoint(
+                        _int_from_ins(ins, f"c{k}x", 1),
+                        _int_from_ins(ins, f"c{k}y", 1),
+                    ))
             acc = AssignedNonZeroPoint(
                 _int_from_ins(ins, "accx", tx), _int_from_ins(ins, "accy", ty)
             )
-            index, ci = e.pick_candidate_non_zero(cands, bits)
-            ci = e.assign_selected_point_non_zero(ci, index, g0)
+            if sel:
+                index, ci = e.pick_candidate_non_zero(cands, bits)
+                ci = e.assign_selected_point_non_zero(ci, index, g0)
+            else:
+                # group-2 variant: in-circuit binary bisec tree
+                # (ecc_chip.rs:160-163, 913-933) — no select rows
+                ci = e.bisec_candidate_non_zero(cands, bits)
             return e.ecc_add_unsafe(ci, acc)
 
-        # plain (cell-free) inputs: candidate coordinates
         plain = {}
-        for k, c in enumerate(cands0):
-            for j in range(3):
-                plain[f"c{k}_xl{j}"] = (lb + 2, c.x.limbs_le[j].val)
-                plain[f"c{k}_yl{j}"] = (lb + 2, c.y.limbs_le[j].val)
-            plain[f"c{k}_xn"] = (254, c.x.native.val)
-            plain[f"c{k}_yn"] = (254, c.y.native.val)
-        # leading limbs are narrower; widths above are safe upper bounds
-        for k, c in enumerate(cands0):
-            plain[f"c{k}_xl2"] = (lead + 2, c.x.limbs_le[2].val)
-            plain[f"c{k}_yl2"] = (lead + 2, c.y.limbs_le[2].val)
+        assigned = []
+        if sel:
+            # select variant: candidate coordinates are plain (cell-free)
+            # inputs — the select-chip lookup provides the binding
+            for k, c in enumerate(cands0):
+                for j in range(3):
+                    plain[f"c{k}_xl{j}"] = (lb + 2, c.x.limbs_le[j].val)
+                    plain[f"c{k}_yl{j}"] = (lb + 2, c.y.limbs_le[j].val)
+                plain[f"c{k}_xn"] = (254, c.x.native.val)
+                plain[f"c{k}_yn"] = (254, c.y.native.val)
+            # leading limbs are narrower; widths above are safe upper bounds
+            for k, c in enumerate(cands0):
+                plain[f"c{k}_xl2"] = (lead + 2, c.x.limbs_le[2].val)
+                plain[f"c{k}_yl2"] = (lead + 2, c.y.limbs_le[2].val)
+        else:
+            # bisec variant: candidate cells feed gates directly, so they
+            # are assigned inputs (placeholder cells -> real candidate rows)
+            for k, c in enumerate(cands0):
+                assigned += _int_inputs(f"c{k}x", c.x, lb, lead)
+                assigned += _int_inputs(f"c{k}y", c.y, lb, lead)
 
-        assigned = [
+        assigned += [
             AssignedInput(f"bit{i}", 1, bits0[i].val) for i in range(group_size)
         ]
         assigned += _int_inputs("accx", acc0.x, lb, lead)
@@ -265,37 +330,208 @@ class BatchMsm:
         self._templates[key] = tmpl
         return tmpl
 
+    def _t_final_step(self, ecc, acc0: AssignedNonZeroPoint, line0: AssignedNonZeroPoint):
+        """One window of the final accumulation: acc = 2*acc + line (the
+        double-and-add scan over windows, ecc_chip.rs:355-362), traced as a
+        B=1 template so the whole tail runs on device instead of the host
+        scalar path. Keyed by the acc/line times signature."""
+        key = ("fin", acc0.x.times, acc0.y.times, line0.x.times, line0.y.times)
+        if key in self._templates:
+            return self._templates[key]
+        curve = self.curve
+        lb, lead = self._limb_params(ecc)
+        sel = self.with_select
+
+        def build(ctx, ins):
+            e = NativeScalarEccContext(curve, ctx=ctx, with_select_chip=sel)
+            acc = AssignedNonZeroPoint(
+                _int_from_ins(ins, "accx", acc0.x.times),
+                _int_from_ins(ins, "accy", acc0.y.times),
+            )
+            line = AssignedNonZeroPoint(
+                _int_from_ins(ins, "linex", line0.x.times),
+                _int_from_ins(ins, "liney", line0.y.times),
+            )
+            acc = e.ecc_double_unsafe(acc)
+            return e.ecc_add_unsafe(line, acc)
+
+        assigned = (
+            _int_inputs("accx", acc0.x, lb, lead)
+            + _int_inputs("accy", acc0.y, lb, lead)
+            + _int_inputs("linex", line0.x, lb, lead)
+            + _int_inputs("liney", line0.y, lb, lead)
+        )
+        tmpl = Template.trace(build, {}, assigned_inputs=assigned, n_modulus=ecc.ctx.n)
+        self._templates[key] = tmpl
+        return tmpl
+
+    def _final_step_fn(self, tmpl):
+        """One jitted final-accumulation step: slices window wi's line point
+        from the stacked leaf tensors and runs the B=1 double-add emitter —
+        one dispatch per window, no host values."""
+        if getattr(tmpl, "_fin_step", None) is not None:
+            return tmpl._fin_step
+        import jax
+        import jax.numpy as jnp
+
+        raw = tmpl.slab_value_emitter_raw()
+
+        def step(line_stacked, acc_ins, wi):
+            ins = dict(acc_ins)
+            for name, arr in line_stacked.items():
+                ins[name] = jax.lax.dynamic_slice_in_dim(arr, wi, 1, 0)
+            return raw(ins)
+
+        tmpl._fin_step = jax.jit(step)
+        return tmpl._fin_step
+
+    def _window_step_fn(self, tmpl, group_size: int, windows: int):
+        """One jitted window step: gathers group gi's candidates from the
+        stacked candidate tensors, broadcasts them over the window lanes,
+        slots in the bit slice + chained acc inputs, and runs the template's
+        slab/value emitter — all in a single device dispatch."""
+        cache = getattr(tmpl, "_step_fns", None)
+        if cache is None:
+            cache = tmpl._step_fns = {}
+        if windows in cache:
+            return cache[windows]
+        import jax
+        import jax.numpy as jnp
+
+        raw = tmpl.slab_value_emitter_raw()
+        K = 1 << group_size
+        sel = self.with_select
+
+        def step(cand_stacked, bits_slice, acc_ins, gi):
+            ins = dict(acc_ins)
+            for k in range(K):
+                for coord in ("x", "y"):
+                    for j in range(3):
+                        ins[_cand_in_name(sel, k, coord, j)] = jnp.broadcast_to(
+                            cand_stacked[f"{coord}l{j}"][k, gi], (windows, 16)
+                        )
+                    ins[_cand_in_name(sel, k, coord, None)] = jnp.broadcast_to(
+                        cand_stacked[f"{coord}n"][k, gi], (windows, 16)
+                    )
+            for i in range(group_size):
+                ins[f"bit{i}"] = bits_slice[:, i]
+            return raw(ins)
+
+        cache[windows] = jax.jit(step)
+        return cache[windows]
+
     # ------------------------------------------------------------------
     # build
     # ------------------------------------------------------------------
 
-    def build(self, points, scalars, max_tries: int = 10, seed: Optional[int] = None):
+    def build(self, points, scalars, max_tries: int = 10, seed: Optional[int] = None,
+              device: bool = False, mesh=None, write_tables: bool = True):
+        """device=True runs the value pipeline fully device-resident: every
+        phase's witness values AND advice slabs are computed by jitted
+        emitters chaining device arrays (no host round-trip between phases);
+        one fetch at the end writes the Records and checks divergence flags.
+        The resulting Records are bit-exact with device=False.
+
+        mesh (implies device=True): a jax.sharding.Mesh with one axis. Each
+        phase's batch dimension (points / groups / windows — the reference's
+        own parallel axes, ecc_chip.rs:150-204) is sharded over it via
+        NamedSharding; XLA GSPMD partitions every emitter so each device
+        computes and materialises its own slab shard, inserting ICI
+        collectives where phases reshard (candidate gathers, the replicated
+        candidate table, and the final window-accumulator all-gather).
+        GSPMD is used rather than shard_map because the window axis (254)
+        is not divisible by typical mesh sizes; uneven partitioning is
+        handled by the compiler. Records are bit-exact with mesh=None."""
         base_seed = seed if seed is not None else random.SystemRandom().randrange(1 << 62)
+        if mesh is not None:
+            device = True
+        self._write_tables = write_tables
+        # arbitrary n: pad with (generator, scalar 0) pairs up to a multiple
+        # of the group size with an even group count. A zero scalar's bits
+        # are all 0, so every window selects only the group's blinding
+        # candidate (candidates[0]), which telescopes out — the padded MSM
+        # computes the same point with uniform template shapes (the
+        # reference instead emits short last groups + an odd-parity
+        # correction, ecc_chip.rs:248-252,355-362; padding is the
+        # shape-static TPU equivalent).
+        n_orig = len(points)
+        assert n_orig >= 1
+        gs = self.group_size
+        pad = (-n_orig) % gs
+        if ((n_orig + pad) // gs) % 2:
+            pad += gs
+        if pad:
+            points = list(points) + [self.g1.generator] * pad
+            scalars = list(scalars) + [0] * pad
         last = None
         for attempt in range(max_tries):
             try:
-                return self._attempt(points, scalars, random.Random(base_seed + attempt))
+                return self._attempt(
+                    points, scalars, random.Random(base_seed + attempt), device,
+                    mesh,
+                )
             except UnsafeError as e:
                 last = e
         raise last
 
-    def _attempt(self, points, scalars, rng):
+    def _attempt(self, points, scalars, rng, device: bool = False, mesh=None):
         curve = self.curve
         g1 = self.g1
         n_pts = len(points)
-        group_size = 5
-        assert n_pts % group_size == 0, "batched MSM v1 requires n % 5 == 0"
+        group_size = self.group_size
+        assert n_pts % group_size == 0  # build() pads to this shape
         n_groups = n_pts // group_size
-        assert n_groups % 2 == 0, "batched MSM v1 requires an even group count"
+        assert n_groups % 2 == 0
 
-        ecc = NativeScalarEccContext(curve, with_select_chip=True, rng=rng)
+        ecc = NativeScalarEccContext(curve, with_select_chip=self.with_select, rng=rng)
         ctx = ecc.ctx
         n = ctx.n
+        deferred = [] if device else None
+        if device:
+            import jax.numpy as jnp
+            xp = jnp
+        else:
+            xp = np
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.size
+
+            def pad_up(b: int) -> int:
+                return -(-b // n_dev) * n_dev
+
+            def pad0(arr, b_pad: int):
+                """Pad the batch dim to b_pad lanes by repeating lane 0
+                (valid values -> no spurious divergence flags; dropped at
+                finalize via _Deferred.lanes)."""
+                b = arr.shape[0]
+                if b == b_pad:
+                    return arr
+                fill = xp.broadcast_to(arr[:1], (b_pad - b,) + arr.shape[1:])
+                return xp.concatenate([xp.asarray(arr), fill], axis=0)
+
+            def shard0(arr, b_pad: Optional[int] = None):
+                """Pad (if needed) and place with the batch dim sharded."""
+                if b_pad is not None:
+                    arr = pad0(arr, b_pad)
+                spec = P(axis, *([None] * (np.ndim(arr) - 1)))
+                return jax.device_put(arr, NamedSharding(mesh, spec))
+
+            def replicate(arr):
+                return jax.device_put(arr, NamedSharding(mesh, P()))
+        else:
+            pad_up = lambda b: b
+            pad0 = lambda arr, b_pad: arr
+            shard0 = lambda arr, b_pad=None: arr
+            replicate = lambda arr: arr
 
         # ---- scalar setup: shared constants ----
         s_zero = ecc.ecc_assign_constant_zero_scalar()
         non_zero_p = ecc.assign_non_zero_point(g1.generator)
 
+        _t0 = time.perf_counter()
         # ---- phase 1: batched point+scalar assignment ----
         xs = [0 if p is None else p[0] for p in points]
         ys = [0 if p is None else p[1] for p in points]
@@ -319,14 +555,27 @@ class BatchMsm:
             s_zero.cell.region, s_zero.cell.col,
             np.full(B, s_zero.cell.row, dtype=np.int64),
         )
-        out_assign = t_assign.instantiate(ctx, {**inputs, **arrs}, assigned_rows=rows)
+        n_pad = pad_up(n_pts)
+        if mesh is not None:
+            inputs = {k: shard0(np.ascontiguousarray(v), n_pad) for k, v in inputs.items()}
+            arrs = {k: shard0(np.ascontiguousarray(v), n_pad) for k, v in arrs.items()}
+        out_assign = t_assign.instantiate(
+            ctx, {**inputs, **arrs}, assigned_rows=rows, deferred=deferred,
+            _B=n_pts if mesh is not None else None,
+        )
 
+        _t0 = _phase_mark("1 assign", _t0, deferred and deferred[-1].slabs)
         # ---- phase 2: batched scalar decomposition ----
-        t_dec = self._t_decompose(ecc, _unbatch_value(out_assign["s"], 0))
+        if "decompose" in self._templates:
+            t_dec = self._templates["decompose"]
+        else:
+            t_dec = self._t_decompose(ecc, _unbatch_value(out_assign["s"], 0))
         out_dec = t_dec.instantiate(
             ctx,
             {"s": _leaf_vals(out_assign["s"])},
             assigned_rows={"s": _leaf_rows(out_assign["s"])},
+            deferred=deferred,
+            _B=n_pts if mesh is not None else None,
         )
         windows = len(out_dec)
 
@@ -337,14 +586,16 @@ class BatchMsm:
         rand_line = ecc.assign_non_zero_point(r2)
         rand_acc_neg = ecc.ecc_reduce_non_zero(ecc.ecc_neg_non_zero(rand_acc))
         rand_line_neg = ecc.ecc_reduce_non_zero(ecc.ecc_neg_non_zero(rand_line))
-        group_prefix = ecc.get_and_increase_msm_prefix()
+        group_prefix = ecc.get_and_increase_msm_prefix() if self.with_select else 0
 
+        _t0 = _phase_mark("2 decompose", _t0, deferred and deferred[-1].slabs)
         # ---- phase 3: candidate precompute (batch over groups) ----
         # host values of points (for candidate host math cross-checks)
         # initial cache rows for candidate 0 (per group, scalar emission)
-        for gi in range(n_groups):
-            init = rand_line if gi % 2 == 0 else rand_line_neg
-            ecc.assign_cache_point_non_zero(init, group_prefix + gi, 0)
+        if self.with_select:
+            for gi in range(n_groups):
+                init = rand_line if gi % 2 == 0 else rand_line_neg
+                ecc.assign_cache_point_non_zero(init, group_prefix + gi, 0)
 
         # candidate tables as value/row arrays [n_groups]
         # build per-group candidate 0 arrays (alternating rand_line / neg)
@@ -380,6 +631,9 @@ class BatchMsm:
 
         init_pts = [rand_line if gi % 2 == 0 else rand_line_neg for gi in range(n_groups)]
         cand_arrays[0], cand_rows[0] = mk_point_arrays(init_pts)
+        g_pad = pad_up(n_groups)
+        if mesh is not None:
+            cand_arrays[0] = {k: shard0(v, g_pad) for k, v in cand_arrays[0].items()}
 
         # the assigned input points, grouped: chunk[pos] for group gi
         pnz_tree = out_assign["pnz"]
@@ -400,6 +654,11 @@ class BatchMsm:
             return a, r
 
         chunk_arrays = [chunk_point_arrays(p) for p in range(group_size)]
+        if mesh is not None:
+            chunk_arrays = [
+                ({k: shard0(v, g_pad) for k, v in a.items()}, r)
+                for (a, r) in chunk_arrays
+            ]
 
         g_arr = group_prefix + np.arange(n_groups, dtype=np.int64)
         t_cand = None
@@ -407,9 +666,14 @@ class BatchMsm:
             pos = (i & -i).bit_length() - 1
             other = i - (1 << pos)
             if t_cand is None:
-                a0 = _unbatch_point_from_arrays(cand_arrays[other], cand_rows[other], 0)
-                b0 = _unbatch_point_from_arrays(*chunk_arrays[pos], 0)
-                t_cand = self._t_cand(ecc, a0, b0, group_prefix, 1)
+                if "cand" in self._templates:
+                    t_cand = self._templates["cand"]
+                else:
+                    a0 = _unbatch_point_from_arrays(
+                        cand_arrays[other], cand_rows[other], 0
+                    )
+                    b0 = _unbatch_point_from_arrays(*chunk_arrays[pos], 0)
+                    t_cand = self._t_cand(ecc, a0, b0, group_prefix, 1)
             ins = {}
             arows = {}
             for pre, (a, r) in (("a", (cand_arrays[other], cand_rows[other])),
@@ -421,7 +685,10 @@ class BatchMsm:
                     ins[f"{pre}{name}_native"] = a[f"{name}n"]
                     arows[f"{pre}{name}_native"] = r[f"{name}n"]
             sel_start = ctx.select_offset
-            out_c = t_cand.instantiate(ctx, ins, assigned_rows=arows)
+            out_c = t_cand.instantiate(
+                ctx, ins, assigned_rows=arows, deferred=deferred,
+                _B=n_groups if mesh is not None else None,
+            )
             self._patch_cand_encodes(ctx, t_cand, sel_start, n_groups, g_arr, i)
 
             a, r = {}, {}
@@ -435,12 +702,11 @@ class BatchMsm:
                 r[f"{name}n"] = _leaf_rows(leaf)
             cand_arrays[i], cand_rows[i] = a, r
 
+        _t0 = _phase_mark("3 candidates", _t0, deferred and deferred[-1].slabs)
         # ---- phase 4: window chains (batch over windows) ----
-        # bits arrays: bit (window-major) values/rows for scalar j
-        bit_vals = []  # [n_pts] of u32[windows,16]
-        bit_rows = []
-        # all windows' decomposed bits must share (region, col) — the rows
-        # below are rebased against window 0's leaf (same uniformity check
+        # stacked bit arrays: [windows, n_pts, 16] values + [windows, n_pts]
+        # rows. All windows' bits must share (region, col) — the rows below
+        # are rebased against window 0's leaf (same uniformity check
         # mk_point_arrays performs; a layout change must fail here, loudly)
         _reg0, _col0, _ = _leaf_rows(out_dec[0])
         for wi in range(windows):
@@ -448,149 +714,342 @@ class BatchMsm:
             assert (_r, _c) == (_reg0, _col0), (
                 "decompose_scalar bit cells must share (region, col) across windows"
             )
-        for j in range(n_pts):
-            vals = np.stack([_leaf_vals(out_dec[wi])[j] for wi in range(windows)])
-            reg, col, _ = _leaf_rows(out_dec[0])
-            rws = np.array(
-                [_leaf_rows(out_dec[wi])[2][j] for wi in range(windows)], dtype=np.int64
-            )
-            bit_vals.append(vals)
-            bit_rows.append((reg, col, rws))
+        bit_stack = xp.stack([_leaf_vals(out_dec[wi]) for wi in range(windows)])
+        w_pad = pad_up(windows)
+        if mesh is not None:
+            bit_stack = shard0(bit_stack, w_pad)  # windows axis over the mesh
+        rws_stack = np.stack(
+            [np.asarray(_leaf_rows(out_dec[wi])[2], dtype=np.int64) for wi in range(windows)]
+        )
 
         # acc starts at rand_acc_neg broadcast over windows
         acc_arrays, acc_rows_d = {}, {}
         _broadcast_scalar_int("accx", rand_acc_neg.x, windows, acc_arrays, acc_rows_d)
         _broadcast_scalar_int("accy", rand_acc_neg.y, windows, acc_arrays, acc_rows_d)
+        if mesh is not None:
+            acc_arrays = {
+                k: shard0(np.ascontiguousarray(v), w_pad) for k, v in acc_arrays.items()
+            }
         acc_times = (1, 1)
         acc_tree = None
 
-        for gi in range(n_groups):
-            # template keyed by times signature; trace lazily with lane-0 data
-            cands0 = [
-                _unbatch_point_from_arrays(cand_arrays[k], cand_rows[k], gi)
-                for k in range(1 << group_size)
-            ]
-            bits0 = [
-                AssignedCondition(_unbatch_value(
-                    (bit_vals[gi * group_size + i],
-                     bit_rows[gi * group_size + i]), 0))
-                for i in range(group_size)
-            ]
-            if acc_tree is None:
-                acc0 = AssignedNonZeroPoint(
-                    AssignedInteger(list(rand_acc_neg.x.limbs_le), rand_acc_neg.x.native, 1),
-                    AssignedInteger(list(rand_acc_neg.y.limbs_le), rand_acc_neg.y.native, 1),
-                )
-            else:
-                acc0 = AssignedNonZeroPoint(
-                    AssignedInteger(
-                        [_unbatch_value(acc_tree["x"]["limbs"][j], 0) for j in range(3)],
-                        _unbatch_value(acc_tree["x"]["native"], 0), acc_times[0]),
-                    AssignedInteger(
-                        [_unbatch_value(acc_tree["y"]["limbs"][j], 0) for j in range(3)],
-                        _unbatch_value(acc_tree["y"]["native"], 0), acc_times[1]),
-                )
-            tmpl = self._t_window(ecc, group_size, cands0, bits0, acc0, group_prefix + gi)
+        _cand_names = ("xl0", "xl1", "xl2", "xn", "yl0", "yl1", "yl2", "yn")
+        if device:
+            cand_stacked = {
+                nm: xp.stack([cand_arrays[k][nm] for k in range(1 << group_size)])
+                for nm in _cand_names
+            }
+            if mesh is not None:
+                # every device needs every group's candidates inside the
+                # window steps: replicate once (one ICI all-gather)
+                cand_stacked = {k: replicate(v) for k, v in cand_stacked.items()}
 
-            ins: Dict[str, np.ndarray] = {}
+        for gi in range(n_groups):
+            # template keyed by times signature; traced lazily with lane-0
+            # data ONLY on a cache miss (tracing syncs device values)
+            key = ("win", acc_times[0], acc_times[1])
+            if key in self._templates:
+                tmpl = self._templates[key]
+            else:
+                cands0 = [
+                    _unbatch_point_from_arrays(cand_arrays[k], cand_rows[k], gi)
+                    for k in range(1 << group_size)
+                ]
+                bits0 = [
+                    AssignedCondition(_unbatch_value(
+                        (bit_stack[:, gi * group_size + i],
+                         (_reg0, _col0, rws_stack[:, gi * group_size + i])), 0))
+                    for i in range(group_size)
+                ]
+                if acc_tree is None:
+                    acc0 = AssignedNonZeroPoint(
+                        AssignedInteger(
+                            list(rand_acc_neg.x.limbs_le), rand_acc_neg.x.native, 1
+                        ),
+                        AssignedInteger(
+                            list(rand_acc_neg.y.limbs_le), rand_acc_neg.y.native, 1
+                        ),
+                    )
+                else:
+                    acc0 = AssignedNonZeroPoint(
+                        AssignedInteger(
+                            [_unbatch_value(acc_tree["x"]["limbs"][j], 0) for j in range(3)],
+                            _unbatch_value(acc_tree["x"]["native"], 0), acc_times[0]),
+                        AssignedInteger(
+                            [_unbatch_value(acc_tree["y"]["limbs"][j], 0) for j in range(3)],
+                            _unbatch_value(acc_tree["y"]["native"], 0), acc_times[1]),
+                    )
+                tmpl = self._t_window(
+                    ecc, group_size, cands0, bits0, acc0, group_prefix + gi
+                )
+
             arows: Dict[str, Tuple] = {}
-            # candidates (plain values, broadcast over windows)
-            for k in range(1 << group_size):
-                a = cand_arrays[k]
-                for j in range(3):
-                    ins[f"c{k}_xl{j}"] = np.broadcast_to(a[f"xl{j}"][gi], (windows, 16))
-                    ins[f"c{k}_yl{j}"] = np.broadcast_to(a[f"yl{j}"][gi], (windows, 16))
-                ins[f"c{k}_xn"] = np.broadcast_to(a["xn"][gi], (windows, 16))
-                ins[f"c{k}_yn"] = np.broadcast_to(a["yn"][gi], (windows, 16))
-            # bits
             for i in range(group_size):
-                ins[f"bit{i}"] = bit_vals[gi * group_size + i]
-                arows[f"bit{i}"] = bit_rows[gi * group_size + i]
-            # acc
+                arows[f"bit{i}"] = (
+                    _reg0, _col0, rws_stack[:, gi * group_size + i]
+                )
             if acc_tree is None:
-                ins.update(acc_arrays)
+                acc_ins = dict(acc_arrays)
                 arows.update(acc_rows_d)
             else:
-                _int_input_arrays("accx", acc_tree["x"], ins, arows)
-                _int_input_arrays("accy", acc_tree["y"], ins, arows)
+                acc_ins = {}
+                _int_input_arrays("accx", acc_tree["x"], acc_ins, arows)
+                _int_input_arrays("accy", acc_tree["y"], acc_ins, arows)
 
             sel_start = ctx.select_offset
-            acc_tree = tmpl.instantiate(ctx, ins, assigned_rows=arows)
+            if device:
+                # per-step jitted gather wrapper: candidate/bit gathers and
+                # broadcasts happen inside ONE dispatch per step
+                step_fn = self._window_step_fn(tmpl, group_size, w_pad)
+                bits_slice = bit_stack[:, gi * group_size : (gi + 1) * group_size]
+                if not self.with_select:
+                    for k in range(1 << group_size):
+                        r = cand_rows[k]
+                        for coord in ("x", "y"):
+                            for j in range(3):
+                                reg, col, rws = r[f"{coord}l{j}"]
+                                arows[_cand_in_name(False, k, coord, j)] = (
+                                    reg, col, np.full(windows, rws[gi], dtype=np.int64)
+                                )
+                            reg, col, rws = r[f"{coord}n"]
+                            arows[_cand_in_name(False, k, coord, None)] = (
+                                reg, col, np.full(windows, rws[gi], dtype=np.int64)
+                            )
+                res = step_fn(
+                    cand_stacked, bits_slice, acc_ins, np.uint32(gi)
+                )
+                acc_tree = tmpl.instantiate(
+                    ctx, {}, assigned_rows=arows, deferred=deferred,
+                    _precomputed=res, _B=windows,
+                )
+            else:
+                ins: Dict[str, np.ndarray] = dict(acc_ins)
+                for k in range(1 << group_size):
+                    a = cand_arrays[k]
+                    for coord in ("x", "y"):
+                        for j in range(3):
+                            ins[_cand_in_name(self.with_select, k, coord, j)] = (
+                                np.broadcast_to(a[f"{coord}l{j}"][gi], (windows, 16))
+                            )
+                        ins[_cand_in_name(self.with_select, k, coord, None)] = (
+                            np.broadcast_to(a[f"{coord}n"][gi], (windows, 16))
+                        )
+                    if not self.with_select:
+                        r = cand_rows[k]
+                        for coord in ("x", "y"):
+                            for j in range(3):
+                                reg, col, rws = r[f"{coord}l{j}"]
+                                arows[_cand_in_name(False, k, coord, j)] = (
+                                    reg, col, np.full(windows, rws[gi], dtype=np.int64)
+                                )
+                            reg, col, rws = r[f"{coord}n"]
+                            arows[_cand_in_name(False, k, coord, None)] = (
+                                reg, col, np.full(windows, rws[gi], dtype=np.int64)
+                            )
+                for i in range(group_size):
+                    ins[f"bit{i}"] = bit_stack[:, gi * group_size + i]
+                acc_tree = tmpl.instantiate(ctx, ins, assigned_rows=arows)
             self._patch_window_encodes(ctx, tmpl, sel_start, windows, group_prefix, gi)
             acc_times = (acc_tree["x"]["times"], acc_tree["y"]["times"])
 
-        # ---- phase 5: final accumulation (scalar path) ----
-        line_accs = [
-            AssignedNonZeroPoint(
+        _t0 = _phase_mark("4 windows", _t0, deferred and deferred[-1].slabs)
+
+        # ---- phase 5: final accumulation (double-and-add over windows) ----
+        if device:
+            if mesh is not None:
+                # EC window-accumulator aggregation: all-gather the window
+                # partial points' coordinate limb vectors over ICI so every
+                # device holds the full set for the sequential tail
+                for coord in ("x", "y"):
+                    t = acc_tree[coord]
+                    t["limbs"] = [(replicate(v), rc) for (v, rc) in t["limbs"]]
+                    t["native"] = (replicate(t["native"][0]), t["native"][1])
+            # device tail: per-window B=1 final-step templates chained on
+            # device (the host scalar loop costs ~10ms/op; this is one
+            # dispatch per window and joins the single pipeline drain)
+            line_stacked, line_rows = {}, {}
+            for coord, pre in (("x", "linex"), ("y", "liney")):
+                t = acc_tree[coord]
+                for j in range(3):
+                    line_stacked[f"{pre}_l{j}"] = _leaf_vals(t["limbs"][j])
+                    line_rows[f"{pre}_l{j}"] = _leaf_rows(t["limbs"][j])
+                line_stacked[f"{pre}_native"] = _leaf_vals(t["native"])
+                line_rows[f"{pre}_native"] = _leaf_rows(t["native"])
+            line_times = acc_times
+
+            acc5_ins, acc5_rows = {}, {}
+            _broadcast_scalar_int("accx", rand_acc.x, 1, acc5_ins, acc5_rows)
+            _broadcast_scalar_int("accy", rand_acc.y, 1, acc5_ins, acc5_rows)
+            acc5_times = (rand_acc.x.times, rand_acc.y.times)
+            acc5_tree = None
+            for wi in range(windows):
+                key = ("fin", acc5_times[0], acc5_times[1],
+                       line_times[0], line_times[1])
+                if key in self._templates:
+                    tmpl = self._templates[key]
+                else:
+                    if acc5_tree is None:
+                        acc0 = AssignedNonZeroPoint(
+                            AssignedInteger(
+                                list(rand_acc.x.limbs_le), rand_acc.x.native,
+                                rand_acc.x.times),
+                            AssignedInteger(
+                                list(rand_acc.y.limbs_le), rand_acc.y.native,
+                                rand_acc.y.times),
+                        )
+                    else:
+                        acc0 = AssignedNonZeroPoint(
+                            AssignedInteger(
+                                [_unbatch_value(acc5_tree["x"]["limbs"][j], 0)
+                                 for j in range(3)],
+                                _unbatch_value(acc5_tree["x"]["native"], 0),
+                                acc5_times[0]),
+                            AssignedInteger(
+                                [_unbatch_value(acc5_tree["y"]["limbs"][j], 0)
+                                 for j in range(3)],
+                                _unbatch_value(acc5_tree["y"]["native"], 0),
+                                acc5_times[1]),
+                        )
+                    line0 = AssignedNonZeroPoint(
+                        AssignedInteger(
+                            [_unbatch_value(
+                                (line_stacked[f"linex_l{j}"],
+                                 line_rows[f"linex_l{j}"]), wi)
+                             for j in range(3)],
+                            _unbatch_value(
+                                (line_stacked["linex_native"],
+                                 line_rows["linex_native"]), wi),
+                            line_times[0]),
+                        AssignedInteger(
+                            [_unbatch_value(
+                                (line_stacked[f"liney_l{j}"],
+                                 line_rows[f"liney_l{j}"]), wi)
+                             for j in range(3)],
+                            _unbatch_value(
+                                (line_stacked["liney_native"],
+                                 line_rows["liney_native"]), wi),
+                            line_times[1]),
+                    )
+                    tmpl = self._t_final_step(ecc, acc0, line0)
+                step_fn = self._final_step_fn(tmpl)
+                res5 = step_fn(line_stacked, acc5_ins, np.uint32(wi))
+                arows5 = {}
+                for name, (reg, col, rws) in line_rows.items():
+                    arows5[name] = (reg, col, rws[wi : wi + 1])
+                if acc5_tree is None:
+                    arows5.update(acc5_rows)
+                else:
+                    _tmp = {}
+                    _int_input_arrays("accx", acc5_tree["x"], _tmp, arows5)
+                    _int_input_arrays("accy", acc5_tree["y"], _tmp, arows5)
+                acc5_tree = tmpl.instantiate(
+                    ctx, {}, assigned_rows=arows5, deferred=deferred,
+                    _precomputed=res5, _B=1,
+                )
+                acc5_ins = {}
+                _d = {}
+                _int_input_arrays("accx", acc5_tree["x"], acc5_ins, _d)
+                _int_input_arrays("accy", acc5_tree["y"], acc5_ins, _d)
+                acc5_times = (acc5_tree["x"]["times"], acc5_tree["y"]["times"])
+
+            _t0 = _phase_mark("5 final dispatch", _t0, deferred and deferred[-1].slabs)
+            # drain the WHOLE pipeline: one flags check + slab fetch
+            # (write_tables=False keeps the advice slabs device-resident)
+            finalize_deferred(deferred, write=getattr(self, "_write_tables", True))
+            acc5_tree = tree_to_numpy(acc5_tree)
+            _t0 = _phase_mark("drain", _t0)
+            acc = AssignedNonZeroPoint(
                 AssignedInteger(
-                    [_unbatch_value(acc_tree["x"]["limbs"][j], wi) for j in range(3)],
-                    _unbatch_value(acc_tree["x"]["native"], wi), acc_times[0]),
+                    [_unbatch_value(acc5_tree["x"]["limbs"][j], 0) for j in range(3)],
+                    _unbatch_value(acc5_tree["x"]["native"], 0), acc5_times[0]),
                 AssignedInteger(
-                    [_unbatch_value(acc_tree["y"]["limbs"][j], wi) for j in range(3)],
-                    _unbatch_value(acc_tree["y"]["native"], wi), acc_times[1]),
+                    [_unbatch_value(acc5_tree["y"]["limbs"][j], 0) for j in range(3)],
+                    _unbatch_value(acc5_tree["y"]["native"], 0), acc5_times[1]),
             )
-            for wi in range(windows)
-        ]
+        else:
+            line_accs = [
+                AssignedNonZeroPoint(
+                    AssignedInteger(
+                        [_unbatch_value(acc_tree["x"]["limbs"][j], wi) for j in range(3)],
+                        _unbatch_value(acc_tree["x"]["native"], wi), acc_times[0]),
+                    AssignedInteger(
+                        [_unbatch_value(acc_tree["y"]["limbs"][j], wi) for j in range(3)],
+                        _unbatch_value(acc_tree["y"]["native"], wi), acc_times[1]),
+                )
+                for wi in range(windows)
+            ]
 
-        acc = rand_acc
-        for wi in range(windows):
-            acc = ecc.ecc_double_unsafe(acc)
-            acc = ecc.ecc_add_unsafe(line_accs[wi], acc)
+            acc = rand_acc
+            for wi in range(windows):
+                acc = ecc.ecc_double_unsafe(acc)
+                acc = ecc.ecc_add_unsafe(line_accs[wi], acc)
 
+        _t0 = _phase_mark("5 final", _t0)
         accp = ecc.ecc_non_zero_point_downgrade(acc)
         accp = ecc.to_point_with_curvature(accp)
         carry = ecc.ecc_non_zero_point_downgrade(rand_acc_neg)
         res = ecc.ecc_add(accp, carry)
         return ecc, res
 
-    # -- fixed-cell patches: per-instance select encodes --
+    # -- fixed-cell patches: per-instance select encodes (vectorized block
+    # rewrites of the probe's encode column; no per-row Python loops) --
 
     @staticmethod
-    def _probe_encode(probe, r) -> int:
-        v = probe.fix_vals[r, SELECT_FIX_ENCODE]
-        return (
-            int(v[0]) | (int(v[1]) << 64) | (int(v[2]) << 128) | (int(v[3]) << 192)
-        )
+    def _encode_patch_rows(tmpl) -> np.ndarray:
+        """Template-local select rows whose encode fixed cell is set (cached)."""
+        if getattr(tmpl, "_enc_rows", None) is None:
+            probe = tmpl.ctx.records.select
+            stride = tmpl.strides[2]
+            tmpl._enc_rows = np.nonzero(probe.fix_set[:stride, SELECT_FIX_ENCODE])[0]
+        return tmpl._enc_rows
 
     def _patch_cand_encodes(self, ctx, tmpl, sel_start, B, g_arr, sc):
         """Candidate cache rows: encode = (sc<<128) + (g<<64) + off; the probe
         traced with (g0, sc0) — shift per instance (group) and step."""
-        probe = tmpl.ctx.records.select
         stride = tmpl.strides[2]
-        if stride == 0:
+        enc_rows = self._encode_patch_rows(tmpl)
+        if stride == 0 or enc_rows.size == 0:
             return
+        probe = tmpl.ctx.records.select
         g0, sc0 = tmpl._g0sc
-        n = ctx.n
-        tbl = ctx.records.select
-        deltas = [((int(g) - g0) << 64) + ((sc - sc0) << 128) for g in g_arr]
-        for r in range(stride):
-            if not probe.fix_set[r, SELECT_FIX_ENCODE]:
-                continue
-            v_probe = self._probe_encode(probe, r)
-            for i in range(B):
-                tbl.fix_vals[sel_start + i * stride + r, SELECT_FIX_ENCODE] = (
-                    pack_u64x4((v_probe + deltas[i]) % n)
-                )
+        v_probe = probe.fix_vals[enc_rows, SELECT_FIX_ENCODE]  # [R, 4]
+        dg = np.asarray(g_arr, dtype=np.int64) - g0
+        assert np.all(dg >= 0) and sc >= sc0, "encode deltas must be non-negative"
+        deltas = np.zeros((B, 4), dtype=np.uint64)
+        deltas[:, 1] = dg.astype(np.uint64)  # (g - g0) << 64
+        deltas[:, 2] = np.uint64(sc - sc0)  # (sc - sc0) << 128
+        new = mod_add_u64x4(v_probe[None, :, :], deltas[:, None, :], ctx.n)  # [B,R,4]
+        rows = (
+            sel_start
+            + np.arange(B, dtype=np.int64)[:, None] * stride
+            + enc_rows[None, :]
+        ).reshape(-1)
+        ctx.records.select.fix_vals[rows, SELECT_FIX_ENCODE] = new.reshape(-1, 4)
 
     def _patch_window_encodes(self, ctx, tmpl, sel_start, B, group_prefix, gi):
         """Window select rows: encode's g differs from the probe's g0 by a
         per-instantiation constant (same for every window lane)."""
-        probe = tmpl.ctx.records.select
         stride = tmpl.strides[2]
-        if stride == 0:
+        enc_rows = self._encode_patch_rows(tmpl)
+        if stride == 0 or enc_rows.size == 0:
             return
-        delta = ((group_prefix + gi) - tmpl._g0) << 64
-        if delta == 0:
+        delta_g = (group_prefix + gi) - tmpl._g0
+        if delta_g == 0:
             return
-        n = ctx.n
-        tbl = ctx.records.select
-        ar = np.arange(B, dtype=np.int64)
-        for r in range(stride):
-            if not probe.fix_set[r, SELECT_FIX_ENCODE]:
-                continue
-            v_probe = self._probe_encode(probe, r)
-            rows = sel_start + ar * stride + r
-            tbl.fix_vals[rows, SELECT_FIX_ENCODE] = pack_u64x4((v_probe + delta) % n)
+        assert delta_g > 0, "encode deltas must be non-negative"
+        probe = tmpl.ctx.records.select
+        v_probe = probe.fix_vals[enc_rows, SELECT_FIX_ENCODE]  # [R, 4]
+        delta = np.zeros(4, dtype=np.uint64)
+        delta[1] = np.uint64(delta_g)
+        new = mod_add_u64x4(v_probe, delta[None, :], ctx.n)  # [R, 4]
+        rows = (
+            sel_start
+            + np.arange(B, dtype=np.int64)[:, None] * stride
+            + enc_rows[None, :]
+        ).reshape(-1)
+        ctx.records.select.fix_vals[rows, SELECT_FIX_ENCODE] = np.broadcast_to(
+            new[None, :, :], (B, enc_rows.size, 4)
+        ).reshape(-1, 4)
 
 
 def _unbatch_point_from_arrays(a: Dict, r: Dict, lane: int) -> AssignedNonZeroPoint:

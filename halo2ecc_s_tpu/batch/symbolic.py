@@ -70,6 +70,22 @@ class Tape:
         self.inputs.append((nid, name, bits))
         return SymVal(self, nid, v0)
 
+    def input_vec(self, name: str, v0s, bits: int) -> List["SymVal"]:
+        """One K-element vector input bound to a single u32[B, K, limbs]
+        array at evaluation (keeps wide state vectors — e.g. keccak's 1600
+        bits — as ONE evaluator argument instead of K). Returns K SymVals
+        backed by 'pick' nodes."""
+        K = len(v0s)
+        for v0 in v0s:
+            assert 0 <= v0 < (1 << bits)
+        vec_nid = self.push(Node("input_vec", (), (K, bits), bits, 0))
+        self.inputs.append((vec_nid, name, (K, bits)))
+        out = []
+        for k, v0 in enumerate(v0s):
+            nid = self.push(Node("pick", (vec_nid,), k, bits, 0))
+            out.append(SymVal(self, nid, v0))
+        return out
+
     def const_node(self, v: int) -> int:
         assert v >= 0
         return self.push(Node("const", (), v, max(v.bit_length(), 1), 0))

@@ -87,6 +87,30 @@ class AssignedInput:
 
 
 @dataclass
+class AssignedInputVec:
+    """K already-assigned values bound to ONE evaluator array u32[B, K, L]
+    (keeps wide chained state — e.g. keccak's 1600 bits — as a single jit
+    argument). assigned_rows entry: (region, cols[K] | col, rows[B, K])."""
+
+    name: str
+    bits: int
+    v0s: list
+    region: Region = Region.BASE
+
+
+class AssignedVec:
+    """Marks a template-output group whose leaves are stacked into one
+    device tensor u32[B, K, 16] (instead of K separate arrays). All leaves
+    must live in one region. The mapped output leaf is
+    (vals u32[B, K, 16], (region, cols int64[K], rows int64[B, K]))."""
+
+    def __init__(self, leaves):
+        self.leaves = [
+            l.value if isinstance(l, AssignedCondition) else l for l in leaves
+        ]
+
+
+@dataclass
 class _CapturedOut:
     region: Region
     col: int
@@ -128,11 +152,23 @@ class Template:
         ins: Dict[str, object] = {}
         for name, (bits, v0) in inputs.items():
             ins[name] = t.tape.input(name, v0, bits)
-        for k, ai in enumerate(assigned_inputs or []):
-            sym = t.tape.input(ai.name, ai.v0, ai.bits)
-            cell = Cell(ai.region, ai.col, -(k + 1))  # placeholder row < 0
-            t._placeholder_cells[cell] = ai.name
-            ins[ai.name] = AssignedValue(cell, sym)
+        ph = 0
+        for ai in assigned_inputs or []:
+            if isinstance(ai, AssignedInputVec):
+                syms = t.tape.input_vec(ai.name, ai.v0s, ai.bits)
+                vals = []
+                for k, sym in enumerate(syms):
+                    ph += 1
+                    cell = Cell(ai.region, 0, -ph)  # placeholder row < 0
+                    t._placeholder_cells[cell] = (ai.name, k)
+                    vals.append(AssignedValue(cell, sym))
+                ins[ai.name] = vals
+            else:
+                ph += 1
+                sym = t.tape.input(ai.name, ai.v0, ai.bits)
+                cell = Cell(ai.region, ai.col, -ph)
+                t._placeholder_cells[cell] = (ai.name, None)
+                ins[ai.name] = AssignedValue(cell, sym)
 
         t.outputs = build(ctx, ins)
         t.strides = ctx.offsets()
@@ -162,6 +198,8 @@ class Template:
             bits = declared.get(name)
             if bits is None or not isinstance(arr, np.ndarray):
                 continue
+            if isinstance(bits, tuple):  # vector input: (K, bits)
+                bits = bits[1]
             L = (bits + 15) // 16
             if arr.shape[-1] > L and np.any(arr[..., L:]):
                 raise ValueError(
@@ -182,6 +220,136 @@ class Template:
         return self._eval
 
     # -- fully device-resident emission (no host transfer) --
+
+    def _region_const_info(self):
+        """Per-region (stride, n_adv, constant-pattern u32[...,16], captures)
+        derived from the probe trace; cached."""
+        if getattr(self, "_rinfo", None) is None:
+            probe = self.ctx.records
+            strides = self.strides
+            region_info = []
+            for ridx, ptbl in enumerate([probe.base, probe.range, probe.select]):
+                stride = strides[ridx]
+                if stride == 0:
+                    region_info.append(None)
+                    continue
+                const = np.zeros((stride, ptbl.n_adv, 16), dtype=np.uint32)
+                u64 = ptbl.adv_vals[:stride]
+                for j in range(4):
+                    for k in range(4):
+                        const[..., 4 * j + k] = (
+                            (u64[..., j] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                        ).astype(np.uint32)
+                region_info.append((stride, ptbl.n_adv, const, list(ptbl.captures)))
+            self._rinfo = region_info
+        return self._rinfo
+
+    def slab_value_emitter(self):
+        """Jitted fn(inputs) -> (slabs, outvals, flags) computing, fully on
+        device: the advice slabs ({ridx: u32[B, stride, n_adv, 16]}), the
+        output-leaf values ({nid: u32[B, 16]}), and deferred safety flags
+        ({'diverged': bool, 'width_bad': bool} — checked once at
+        finalize_deferred, preserving the UnsafeError retry protocol without
+        per-phase host syncs). The device-resident backbone of the batched
+        MSM pipeline (instantiate(deferred=...))."""
+        if getattr(self, "_slab_emit", None) is not None:
+            return self._slab_emit
+        self._build_slab_emitter()
+        return self._slab_emit
+
+    def slab_value_emitter_raw(self):
+        """Unjitted form for composing into outer jits (per-step gather
+        wrappers, shard_map)."""
+        if getattr(self, "_slab_emit_raw", None) is None:
+            self._build_slab_emitter()
+        return self._slab_emit_raw
+
+    def _build_slab_emitter(self):
+        import jax.numpy as jnp
+
+        roots = tuple(self._roots())
+        fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
+        ev = build_evaluator(self.tape, roots, fuse_pallas_modmul=fuse)
+        region_info = self._region_const_info()
+        vec_groups = []
+        for v in _iter_vecs(self.outputs):
+            assert all(isinstance(l.val, SymVal) for l in v.leaves)
+            vec_groups.append(tuple(l.val.nid for l in v.leaves))
+        vec_leaf_nids = {nid for g in vec_groups for nid in g}
+        out_nids = sorted(
+            {
+                leaf.val.nid
+                for leaf in _iter_leaves(self.outputs)
+                if isinstance(leaf.val, SymVal)
+            }
+            - vec_leaf_nids
+        )
+        aec = list(self.tape.assume_equal_const)
+        achk = sorted(set(self.tape.assume_checks))
+
+        def pad16(v):
+            if v.shape[-1] < 16:
+                return jnp.concatenate(
+                    [v, jnp.zeros(v.shape[:-1] + (16 - v.shape[-1],), jnp.uint32)],
+                    axis=-1,
+                )
+            return v[..., :16]
+
+        # ONE batched scatter per region (not one .at[].set per captured
+        # cell): with thousands of captures the per-cell form made jit
+        # tracing/lowering the dominant per-process cost (~minutes for the
+        # decompose/keccak tapes) and bloated the compiled graph.
+        cap_info = []
+        for info in region_info:
+            if info is None or not info[3]:
+                cap_info.append(None)
+                continue
+            _, _, _, captures = info
+            cap_info.append(
+                (
+                    np.array([r for (r, _, _) in captures], dtype=np.int32),
+                    np.array([c for (_, c, _) in captures], dtype=np.int32),
+                    [nid for (_, _, nid) in captures],
+                )
+            )
+
+        def emit(inputs):
+            out = ev(inputs)
+            B = next(iter(inputs.values())).shape[0]
+            slabs = {}
+            for ridx, info in enumerate(region_info):
+                if info is None:
+                    continue
+                stride, n_adv, const, captures = info
+                tbl = jnp.broadcast_to(jnp.asarray(const), (B, stride, n_adv, 16))
+                if cap_info[ridx] is not None:
+                    rows, cols, nids = cap_info[ridx]
+                    stacked = jnp.stack([pad16(out[nid]) for nid in nids], axis=1)
+                    tbl = tbl.at[:, rows, cols, :].set(stacked)
+                slabs[ridx] = tbl
+            outvals = {nid: pad16(out[nid]) for nid in out_nids}
+            for i, group in enumerate(vec_groups):
+                outvals[("vec", i)] = jnp.stack(
+                    [pad16(out[nid]) for nid in group], axis=1
+                )
+            diverged = jnp.zeros((), jnp.bool_)
+            for nid, const in aec:
+                arr = out[nid]
+                want = jnp.asarray(ff.int_to_limbs(const, arr.shape[-1]))
+                diverged = diverged | ~jnp.all(arr == want)
+            width_bad = jnp.zeros((), jnp.bool_)
+            for nid, k in achk:
+                arr = out[nid]
+                L = (k + 15) // 16
+                if arr.shape[-1] > L:
+                    width_bad = width_bad | jnp.any(arr[..., L:] != 0)
+                rem = k % 16
+                if rem:
+                    width_bad = width_bad | jnp.any(arr[..., L - 1] >> rem != 0)
+            return slabs, outvals, {"diverged": diverged, "width_bad": width_bad}
+
+        self._slab_emit_raw = emit
+        self._slab_emit = jax.jit(emit)
 
     def device_emitter_raw(self):
         """Unjitted emission fn (for wrapping in shard_map; see
@@ -208,27 +376,10 @@ class Template:
 
         import jax.numpy as jnp
 
-        probe = self.ctx.records
-        strides = self.strides
         roots = tuple(self._roots())
         fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
         ev = build_evaluator(self.tape, roots, fuse_pallas_modmul=fuse)
-
-        region_info = []
-        for ridx, ptbl in enumerate([probe.base, probe.range, probe.select]):
-            stride = strides[ridx]
-            if stride == 0:
-                region_info.append(None)
-                continue
-            # constant advice pattern as u32 16-bit limbs
-            const = np.zeros((stride, ptbl.n_adv, 16), dtype=np.uint32)
-            u64 = ptbl.adv_vals[:stride]
-            for j in range(4):
-                for k in range(4):
-                    const[..., 4 * j + k] = (
-                        (u64[..., j] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
-                    ).astype(np.uint32)
-            region_info.append((stride, ptbl.n_adv, const, list(ptbl.captures)))
+        region_info = self._region_const_info()
 
         def emit(inputs):
             out = ev(inputs)
@@ -241,14 +392,28 @@ class Template:
                 tbl = jnp.broadcast_to(
                     jnp.asarray(const), (B, stride, n_adv, 16)
                 )
-                for (row, col, nid) in captures:
-                    v = out[nid]
-                    if v.shape[-1] < 16:
-                        v = jnp.concatenate(
-                            [v, jnp.zeros(v.shape[:-1] + (16 - v.shape[-1],), jnp.uint32)],
-                            axis=-1,
-                        )
-                    tbl = tbl.at[:, row, col, :].set(v[..., :16])
+                if captures:
+                    rows = np.array([r for (r, _, _) in captures], dtype=np.int32)
+                    cols = np.array([c for (_, c, _) in captures], dtype=np.int32)
+
+                    def pad16(v):
+                        if v.shape[-1] < 16:
+                            return jnp.concatenate(
+                                [
+                                    v,
+                                    jnp.zeros(
+                                        v.shape[:-1] + (16 - v.shape[-1],),
+                                        jnp.uint32,
+                                    ),
+                                ],
+                                axis=-1,
+                            )
+                        return v[..., :16]
+
+                    stacked = jnp.stack(
+                        [pad16(out[nid]) for (_, _, nid) in captures], axis=1
+                    )
+                    tbl = tbl.at[:, rows, cols, :].set(stacked)
                 tables[ridx] = tbl
             return tables
 
@@ -274,6 +439,9 @@ class Template:
         inputs: Dict[str, np.ndarray],
         assigned_rows: Optional[Dict[str, Tuple[Region, int, np.ndarray]]] = None,
         instance_rows: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+        deferred: Optional[list] = None,
+        _precomputed=None,
+        _B: Optional[int] = None,
     ):
         """Emit B instances. inputs: name -> u32[B, limbs]. assigned_rows maps
         assigned-input names to their actual (region, col, rows[B]).
@@ -283,10 +451,27 @@ class Template:
         then advanced; with explicit rows the caller manages cursors — used
         e.g. to interleave instances group-major like the reference layout).
 
+        deferred: device-resident mode. Witness values AND advice slabs are
+        computed by the jitted slab_value_emitter; advice-table writes and
+        divergence checks are queued on the list and performed once by
+        finalize_deferred() (a single device->host fetch for the whole
+        pipeline). Output leaves then carry device value arrays, so phases
+        chain on-device. _precomputed optionally supplies (slabs, outvals,
+        flags) already produced by an outer jit (e.g. a per-window-step
+        gather wrapper); _B must then give the lane count.
+
         Returns the output pytree with each AssignedValue leaf replaced by
         (values u32[B, 16-limb], (region, col, rows[B])).
         """
-        B = next(iter(inputs.values())).shape[0]
+        if _precomputed is not None:
+            assert deferred is not None and _B is not None
+        if _B is not None:
+            # mesh mode: inputs may be padded along the batch dim to a
+            # divisible lane count; _B is the REAL instance count (layout,
+            # rows, finalize slicing all use it; padded lanes are dropped)
+            B = _B
+        else:
+            B = next(iter(inputs.values())).shape[0]
         rec = ctx.records
         probe = self.ctx.records
         strides = self.strides
@@ -299,7 +484,9 @@ class Template:
         else:
             slab0 = tuple(np.asarray(x, dtype=np.int64) for x in instance_rows)
 
-        # 1. bulk-copy the probe pattern (fixed + constant advice + masks)
+        # 1. bulk-copy the probe pattern (fixed + masks; constant advice too
+        # on the host path — in deferred mode the device slab carries all
+        # advice values, so only the presence masks are tiled here)
         for ridx, (tbl, ptbl) in enumerate(
             [(rec.base, probe.base), (rec.range, probe.range), (rec.select, probe.select)]
         ):
@@ -312,57 +499,95 @@ class Template:
             rows = (
                 slab0[ridx][:, None] + np.arange(stride, dtype=np.int64)[None, :]
             ).reshape(-1)
-            tbl.adv_vals[rows] = np.tile(ptbl.adv_vals[:stride], (B, 1, 1))
+            if deferred is None:
+                tbl.adv_vals[rows] = np.tile(ptbl.adv_vals[:stride], (B, 1, 1))
             tbl.adv_set[rows] = np.tile(ptbl.adv_set[:stride], (B, 1))
             tbl.fix_vals[rows] = np.tile(ptbl.fix_vals[:stride], (B, 1, 1))
             tbl.fix_set[rows] = np.tile(ptbl.fix_set[:stride], (B, 1))
 
-        # 2. evaluate the tape (after validating arrays fit declared widths —
-        # the evaluator truncates to the declared limb count, so oversized
-        # values would silently corrupt witnesses)
-        self._validate_input_widths(inputs)
-        out = self.evaluator()(inputs)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        if deferred is not None:
+            # -- device-resident path: queue slabs, chain device outputs --
+            if _precomputed is not None:
+                slabs, outvals, flags = _precomputed
+            else:
+                self._validate_input_widths(inputs)
+                slabs, outvals, flags = self.slab_value_emitter()(inputs)
+            deferred.append(
+                _Deferred(ctx=ctx, slabs=slabs, flags=flags, slab0=slab0,
+                          strides=strides, lanes=B)
+            )
 
-        # 3. divergence checks (UnsafeError retry protocol)
-        for nid, const in self.tape.assume_equal_const:
-            arr = out[nid]
-            want = ff.int_to_limbs(const, arr.shape[-1])
-            if not np.array_equal(arr, np.broadcast_to(want, arr.shape)):
-                raise UnsafeError("lane diverged from traced control flow")
-        # width assumptions (assume_bits): pre-truncation value must fit k
-        # bits on EVERY lane, else the 'assume' node silently truncated —
-        # fail loudly per the symbolic-tape invariant
-        for nid, k in set(self.tape.assume_checks):
-            arr = out[nid]
-            L = (k + 15) // 16
-            bad = False
-            if arr.shape[-1] > L and np.any(arr[..., L:]):
-                bad = True
-            rem = k % 16
-            if not bad and rem and np.any(arr[..., L - 1] >> rem):
-                bad = True
-            if bad:
-                raise ValueError(
-                    f"assume_bits({k}) violated on a lane (node {nid}): "
-                    "input invariants do not hold for this batch"
-                )
+            def get_out(nid):
+                return outvals[nid]
 
-        # 4. scatter captured value blocks
-        for ridx, (tbl, ptbl) in enumerate(
-            [(rec.base, probe.base), (rec.range, probe.range), (rec.select, probe.select)]
-        ):
-            for (row, col, nid) in ptbl.captures:
-                rows = slab0[ridx] + row
-                tbl.adv_vals[rows, col] = _to_u64(out[nid])
-                tbl.adv_set[rows, col] = 1
+            def get_vec(i):
+                return outvals[("vec", i)]
+
+        else:
+            # 2. evaluate the tape (after validating arrays fit declared
+            # widths — the evaluator truncates to the declared limb count, so
+            # oversized values would silently corrupt witnesses)
+            self._validate_input_widths(inputs)
+            out = self.evaluator()(inputs)
+            out = {k: np.asarray(v) for k, v in out.items()}
+
+            # 3. divergence checks (UnsafeError retry protocol)
+            for nid, const in self.tape.assume_equal_const:
+                arr = out[nid]
+                want = ff.int_to_limbs(const, arr.shape[-1])
+                if not np.array_equal(arr, np.broadcast_to(want, arr.shape)):
+                    raise UnsafeError("lane diverged from traced control flow")
+            # width assumptions (assume_bits): pre-truncation value must fit k
+            # bits on EVERY lane, else the 'assume' node silently truncated —
+            # fail loudly per the symbolic-tape invariant
+            for nid, k in set(self.tape.assume_checks):
+                arr = out[nid]
+                L = (k + 15) // 16
+                bad = False
+                if arr.shape[-1] > L and np.any(arr[..., L:]):
+                    bad = True
+                rem = k % 16
+                if not bad and rem and np.any(arr[..., L - 1] >> rem):
+                    bad = True
+                if bad:
+                    raise ValueError(
+                        f"assume_bits({k}) violated on a lane (node {nid}): "
+                        "input invariants do not hold for this batch"
+                    )
+
+            # 4. scatter captured value blocks
+            for ridx, (tbl, ptbl) in enumerate(
+                [(rec.base, probe.base), (rec.range, probe.range), (rec.select, probe.select)]
+            ):
+                for (row, col, nid) in ptbl.captures:
+                    rows = slab0[ridx] + row
+                    tbl.adv_vals[rows, col] = _to_u64(out[nid])
+                    tbl.adv_set[rows, col] = 1
+
+            def get_out(nid):
+                vals = out[nid]
+                if vals.shape[-1] < 16:
+                    return np.concatenate(
+                        [
+                            vals,
+                            np.zeros(vals.shape[:-1] + (16 - vals.shape[-1],), np.uint32),
+                        ],
+                        axis=-1,
+                    )
+                return vals[..., :16]
+
+            get_vec = None
 
         # 5. permutations (probe pairs -> blocks, placeholders rebased)
         def rebase(cell: Cell):
             if cell.row < 0:
-                name = self._placeholder_cells[cell]
+                name, k = self._placeholder_cells[cell]
                 region, col, rows = assigned_rows[name]
-                return (region, col, np.asarray(rows, dtype=np.int64))
+                if k is None:
+                    return (region, col, np.asarray(rows, dtype=np.int64))
+                rows = np.asarray(rows, dtype=np.int64)  # [B, K]
+                c = col if isinstance(col, (int, np.integer)) else int(col[k])
+                return (region, c, rows[:, k])
             return (cell.region, cell.col, slab0[int(cell.region)] + cell.row)
 
         for a, b in probe.permutations:
@@ -372,20 +597,128 @@ class Template:
         def map_leaf(leaf: AssignedValue):
             cell = leaf.cell
             if isinstance(leaf.val, SymVal):
-                vals = out[leaf.val.nid]
-                if vals.shape[-1] < 16:
-                    vals = np.concatenate(
-                        [vals, np.zeros(vals.shape[:-1] + (16 - vals.shape[-1],), np.uint32)],
-                        axis=-1,
-                    )
-                else:
-                    vals = vals[..., :16]
+                vals = get_out(leaf.val.nid)
             else:
                 vals = ff.ints_to_limbs([leaf.val] * B, 16)
             region, col, rows = rebase(cell)
             return vals, (region, col, rows)
 
-        return _map_leaves(self.outputs, map_leaf)
+        vec_index = {id(v): i for i, v in enumerate(_iter_vecs(self.outputs))}
+
+        def map_vec(vec: AssignedVec):
+            # leaves may be template-emitted cells OR pass-through assigned
+            # inputs (placeholder cells — e.g. keccak absorb's untouched
+            # capacity bits); rebase handles both
+            leaves = vec.leaves
+            rebased = [rebase(l.cell) for l in leaves]
+            region = rebased[0][0]
+            assert all(r[0] == region for r in rebased)
+            cols = np.array([c for (_, c, _) in rebased], dtype=np.int64)
+            rws = np.stack([r for (_, _, r) in rebased], axis=1)
+            if get_vec is not None:
+                vals = get_vec(vec_index[id(vec)])
+            else:
+                vals = np.stack([get_out(l.val.nid) for l in leaves], axis=1)
+            return vals, (region, cols, rws)
+
+        return _map_leaves(self.outputs, map_leaf, map_vec)
+
+
+@dataclass
+class _Deferred:
+    """One queued device-resident instantiation: slabs still in HBM, flags
+    unchecked, advice-table writes pending."""
+
+    ctx: Context
+    slabs: dict  # ridx -> u32[B_pad, stride, n_adv, 16] (device)
+    flags: dict  # {'diverged': bool0, 'width_bad': bool0} (device)
+    slab0: tuple  # per-region int64[B] slab starts
+    strides: tuple
+    lanes: int = 0  # real instance count (slab lanes beyond this are pad)
+
+
+def finalize_deferred(deferred: list, write: bool = True) -> None:
+    """Drain a deferred device pipeline: check every phase's divergence/width
+    flags (UnsafeError retry protocol) in ONE stacked fetch, then bulk-write
+    the fetched advice slabs into the host Records.
+
+    write=False skips the slab fetch/writes entirely: the advice tables stay
+    device-resident in HBM (where a device-side prover consumes them) and
+    only the safety flags + small chained outputs ever cross the wire — the
+    production serving mode on remote-attached TPUs. Host Records then hold
+    layout (fixed columns, masks, permutations) but not batched advice
+    values; use write=True for anything the constraint verifier will check.
+    """
+    if not deferred:
+        return
+    import jax.numpy as jnp
+
+    div = np.asarray(jnp.stack([d.flags["diverged"] for d in deferred]))
+    wid = np.asarray(jnp.stack([d.flags["width_bad"] for d in deferred]))
+    if div.any():
+        raise UnsafeError("lane diverged from traced control flow")
+    if wid.any():
+        raise ValueError(
+            "assume_bits violated on a lane: input invariants do not hold"
+        )
+    if not write:
+        deferred.clear()
+        return
+    for d in deferred:
+        tables = (d.ctx.records.base, d.ctx.records.range, d.ctx.records.select)
+        for ridx, slab in d.slabs.items():
+            tbl = tables[ridx]
+            starts = d.slab0[ridx]
+            stride = d.strides[ridx]
+            lanes = d.lanes or slab.shape[0]
+            if getattr(slab, "is_fully_addressable", True):
+                _write_slab(tbl, np.asarray(slab)[:lanes], starts, stride)
+            else:
+                # multi-host (jax.distributed): each process fetches and
+                # writes only its own device shards' lane ranges
+                for s in slab.addressable_shards:
+                    lane0 = s.index[0].start or 0
+                    if lane0 >= lanes:
+                        continue  # pure pad shard
+                    sub = np.asarray(s.data)[: lanes - lane0]
+                    _write_slab(
+                        tbl, sub, starts[lane0 : lane0 + sub.shape[0]], stride
+                    )
+    deferred.clear()
+
+
+def _write_slab(tbl, arr: np.ndarray, starts: np.ndarray, stride: int) -> None:
+    B, _stride, n_adv, _ = arr.shape
+    packed = ff.limbs16_to_u64x4(arr.reshape(B * _stride, n_adv, 16))
+    s0 = int(starts[0])
+    if B == 1 or (np.all(np.diff(starts) == stride) and starts.size == B):
+        tbl.adv_vals[s0 : s0 + B * stride] = packed
+    else:
+        rows = (
+            starts[:, None] + np.arange(stride, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        tbl.adv_vals[rows] = packed
+
+
+def tree_to_numpy(tree):
+    """Convert a template-output tree's device value arrays to numpy (one
+    sync per leaf; call after finalize_deferred)."""
+
+    def conv(node):
+        if (
+            isinstance(node, tuple)
+            and len(node) == 2
+            and not isinstance(node[0], tuple)
+        ):
+            vals, rows = node
+            return np.asarray(vals), rows
+        if isinstance(node, list):
+            return [conv(x) for x in node]
+        if isinstance(node, dict):
+            return {k: conv(v) if k != "times" else v for k, v in node.items()}
+        return node
+
+    return conv(tree)
 
 
 def _to_u64(arr: np.ndarray) -> np.ndarray:
@@ -396,8 +729,23 @@ def _to_u64(arr: np.ndarray) -> np.ndarray:
     return ff.limbs16_to_u64x4(arr[..., :16])
 
 
+def _iter_vecs(tree):
+    """Yield AssignedVec groups in deterministic traversal order."""
+    if isinstance(tree, AssignedVec):
+        yield tree
+    elif isinstance(tree, (list, tuple)):
+        for t in tree:
+            yield from _iter_vecs(t)
+    elif isinstance(tree, dict):
+        for t in tree.values():
+            yield from _iter_vecs(t)
+
+
 def _iter_leaves(tree):
     if tree is None:
+        return
+    if isinstance(tree, AssignedVec):
+        yield from tree.leaves
         return
     if isinstance(tree, AssignedValue):
         yield tree
@@ -421,9 +769,12 @@ def _iter_leaves(tree):
         raise TypeError(type(tree))
 
 
-def _map_leaves(tree, fn):
+def _map_leaves(tree, fn, vec_fn=None):
     if tree is None:
         return None
+    if isinstance(tree, AssignedVec):
+        assert vec_fn is not None, "AssignedVec output needs vec mapping"
+        return vec_fn(tree)
     if isinstance(tree, AssignedValue):
         return fn(tree)
     if isinstance(tree, AssignedCondition):
@@ -435,15 +786,18 @@ def _map_leaves(tree, fn):
             "times": tree.times,
         }
     if isinstance(tree, AssignedNonZeroPoint):
-        return {"x": _map_leaves(tree.x, fn), "y": _map_leaves(tree.y, fn)}
+        return {
+            "x": _map_leaves(tree.x, fn, vec_fn),
+            "y": _map_leaves(tree.y, fn, vec_fn),
+        }
     if isinstance(tree, AssignedPoint):
         return {
-            "x": _map_leaves(tree.x, fn),
-            "y": _map_leaves(tree.y, fn),
+            "x": _map_leaves(tree.x, fn, vec_fn),
+            "y": _map_leaves(tree.y, fn, vec_fn),
             "z": fn(tree.z.value),
         }
     if isinstance(tree, (list, tuple)):
-        return [_map_leaves(t, fn) for t in tree]
+        return [_map_leaves(t, fn, vec_fn) for t in tree]
     if isinstance(tree, dict):
-        return {k: _map_leaves(t, fn) for k, t in tree.items()}
+        return {k: _map_leaves(t, fn, vec_fn) for k, t in tree.items()}
     raise TypeError(type(tree))

@@ -76,6 +76,60 @@ def ints_to_limbs(ints, out: np.ndarray | None = None) -> np.ndarray:
     return out
 
 
+def add_u64x4(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 256-bit add of u64x4 little-endian values (wrap at 2^256)."""
+    a, b = np.broadcast_arrays(a, b)
+    out = np.empty(a.shape, dtype=np.uint64)
+    carry = np.zeros(a.shape[:-1], dtype=np.uint64)
+    for i in range(4):
+        s1 = a[..., i] + b[..., i]
+        c1 = s1 < a[..., i]
+        s2 = s1 + carry
+        c2 = s2 < s1
+        out[..., i] = s2
+        carry = (c1 | c2).astype(np.uint64)
+    return out
+
+
+def sub_u64x4(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 256-bit subtract (a >= b assumed; wraps otherwise)."""
+    a, b = np.broadcast_arrays(a, b)
+    out = np.empty(a.shape, dtype=np.uint64)
+    borrow = np.zeros(a.shape[:-1], dtype=np.uint64)
+    for i in range(4):
+        d1 = a[..., i] - b[..., i]
+        b1 = a[..., i] < b[..., i]
+        d2 = d1 - borrow
+        b2 = d1 < borrow
+        out[..., i] = d2
+        borrow = (b1 | b2).astype(np.uint64)
+    return out
+
+
+def geq_u64x4(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized a >= b on u64x4 values."""
+    a, b = np.broadcast_arrays(a, b)
+    res = np.ones(a.shape[:-1], dtype=bool)
+    decided = np.zeros(a.shape[:-1], dtype=bool)
+    for i in range(3, -1, -1):
+        gt = a[..., i] > b[..., i]
+        lt = a[..., i] < b[..., i]
+        res = np.where(~decided & lt, False, res)
+        decided |= gt | lt
+    return res
+
+
+def mod_add_u64x4(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """(a + b) mod n for u64x4 arrays with a, b < n < 2^255 (one conditional
+    subtract suffices). Vectorized block form of the per-row encode patches."""
+    n_arr = np.array(pack_u64x4(n), dtype=np.uint64)
+    s = add_u64x4(a, b)
+    ge = geq_u64x4(s, n_arr)
+    if np.any(ge):
+        s[ge] = sub_u64x4(s[ge], n_arr)
+    return s
+
+
 class RegionTable:
     """One chip region: advice + fixed columns with presence masks."""
 

@@ -28,6 +28,31 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def init_distributed() -> bool:
+    """Multi-host entry point (env-gated). When HALO2ECC_TPU_DIST=1, calls
+    jax.distributed.initialize() using the standard coordinator env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    TPU-pod auto-detection). After this, jax.devices() spans the pod slice
+    and the mesh paths below (and BatchMsm(mesh=...)) run multi-host: each
+    process computes and writes only its addressable slab shards
+    (template.finalize_deferred handles non-fully-addressable arrays).
+    Returns True if distributed mode was initialized."""
+    import os
+
+    if not os.environ.get("HALO2ECC_TPU_DIST"):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
+def sharded_msm_build(bm, points, scalars, mesh: Mesh | None = None, **kw):
+    """Build a batched MSM witness with every phase's batch axis sharded over
+    the mesh (GSPMD; see BatchMsm.build mesh docs). Convenience wrapper that
+    defaults to a mesh over all devices."""
+    mesh = mesh or make_mesh(axis="shard")
+    return bm.build(points, scalars, mesh=mesh, **kw)
+
+
 def sharded_int_mul_witness(mesh: Mesh, axis: str = "points"):
     """Returns a jitted fn computing the batched int_mul witness with the
     batch sharded over `axis`, plus a psum'd global digest (stand-in for

@@ -25,6 +25,90 @@ def test_msm_batch_50_points():
     run_circuit(ecc.ctx, 23)
 
 
+def test_msm_batch_device_bit_exact():
+    """The device-resident pipeline (deferred slabs + per-step jits) must
+    produce Records bit-exact with the host path for the same seed, and the
+    result must verify."""
+    import numpy as np
+
+    points, scalars, expect = random_msm_instance(10, seed=5)
+    bm = BatchMsm()
+    ecc_h, res_h = bm.build(points, scalars, seed=123)
+    ecc_d, res_d = bm.build(points, scalars, seed=123, device=True)
+
+    for th, td in (
+        (ecc_h.ctx.records.base, ecc_d.ctx.records.base),
+        (ecc_h.ctx.records.range, ecc_d.ctx.records.range),
+        (ecc_h.ctx.records.select, ecc_d.ctx.records.select),
+    ):
+        assert th.height == td.height
+        h = th.height
+        np.testing.assert_array_equal(th.adv_vals[:h], td.adv_vals[:h])
+        np.testing.assert_array_equal(th.adv_set[:h], td.adv_set[:h])
+        np.testing.assert_array_equal(th.fix_vals[:h], td.fix_vals[:h])
+        np.testing.assert_array_equal(th.fix_set[:h], td.fix_set[:h])
+    assert res_h.x.native.val == res_d.x.native.val
+    assert res_h.y.native.val == res_d.y.native.val
+
+    ecc_d.ecc_assert_equal(res_d, ecc_d.assign_point(expect))
+    run_circuit(ecc_d.ctx, 22)
+
+
+def test_msm_batch_no_select_chip():
+    """Group-2 variant (no select chip, in-circuit bisec candidate trees —
+    ecc_chip.rs:91-221); n=5 pads to 8 points / 4 groups."""
+    points, scalars, expect = random_msm_instance(5, seed=21)
+    bm = BatchMsm(with_select_chip=False)
+    ecc, res = bm.build(points, scalars, seed=63)
+    assert ecc.ctx.records.select.height == 0  # really no select rows
+    ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    run_circuit(ecc.ctx, 22)
+
+
+def test_msm_batch_arbitrary_n():
+    """n=7 pads to 10 (generator, scalar-0 pairs); result must match the
+    host oracle and verify."""
+    points, scalars, expect = random_msm_instance(7, seed=12)
+    bm = BatchMsm()
+    ecc, res = bm.build(points, scalars, seed=42)
+    ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    run_circuit(ecc.ctx, 22)
+
+
+def test_msm_batch_sharded_bit_exact():
+    """Mesh-sharded device pipeline (8 virtual CPU devices): Records must be
+    bit-exact with the single-device build; result verifies. XSLOW: compiles
+    two full evaluator sets (padded + unpadded) on the 4-core CPU host."""
+    import os
+
+    if "HALO2ECC_TPU_RUN_XSLOW" not in os.environ:
+        pytest.skip("set HALO2ECC_TPU_RUN_XSLOW=1")
+    import numpy as np
+
+    from halo2ecc_s_tpu.parallel.mesh import make_mesh
+
+    points, scalars, expect = random_msm_instance(10, seed=6)
+    bm = BatchMsm()
+    ecc_s, res_s = bm.build(points, scalars, seed=321, device=True)
+    mesh = make_mesh(axis="shard")
+    ecc_m, res_m = bm.build(points, scalars, seed=321, mesh=mesh)
+
+    for th, td in (
+        (ecc_s.ctx.records.base, ecc_m.ctx.records.base),
+        (ecc_s.ctx.records.range, ecc_m.ctx.records.range),
+        (ecc_s.ctx.records.select, ecc_m.ctx.records.select),
+    ):
+        assert th.height == td.height
+        h = th.height
+        np.testing.assert_array_equal(th.adv_vals[:h], td.adv_vals[:h])
+        np.testing.assert_array_equal(th.fix_vals[:h], td.fix_vals[:h])
+    assert res_s.x.native.val == res_m.x.native.val
+    assert res_s.y.native.val == res_m.y.native.val
+
+    ecc_m.ecc_assert_equal(res_m, ecc_m.assign_point(expect))
+    run_circuit(ecc_m.ctx, 22)
+
+
 def test_msm_batch_10_points():
     points, scalars, expect = random_msm_instance(10, seed=3)
     # exercise identity/zero normalisation
