@@ -3,12 +3,23 @@
 Each node becomes a uint32 16-bit-limb array of statically known width;
 ops map onto the exact limb primitives in kernels/ff_jax.py. A liveness pass
 keeps only nodes needed for captured cells / outputs / assumption checks.
+
+Auto-vectorization: big templates (keccak rounds: ~30k 1-bit gate nodes;
+scalar decomposition: hundreds of identical bit rows) would otherwise lower
+to one XLA op chain PER NODE — graphs whose compile time dominates
+everything. _vector_plan groups same-shaped nodes (same op/const/widths) at
+the same dataflow depth and executes each group as ONE batched limb op over
+a [B, G, L] tensor; group values live in per-width slot buffers that later
+ops gather from (XLA gathers with static index arrays). The lowered graph
+shrinks from O(nodes) to O(levels x distinct op shapes) — a keccak round
+drops from ~30k chains to ~200 tensor ops. Bit-exact with the scalar
+lowering: the same kernels run on reshaped operands.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +31,16 @@ from .symbolic import Node, Tape
 
 def _limbs(bits: int) -> int:
     return max((bits + 15) // 16, 1)
+
+
+# ops safe to execute as one batched call on [B, G, L] operands (every ff
+# primitive batches over leading dims); excluded: input/input_vec/const
+# (level-0 sources), gather (data-dependent per-lane index mix)
+VEC_OPS = {
+    "add", "sub", "mulc", "mul", "mod", "andmask", "shr", "assume",
+    "pick", "div", "inv", "powm",
+}
+VEC_MIN = 8  # don't bother batching groups smaller than this
 
 
 @lru_cache(maxsize=None)
@@ -44,9 +65,64 @@ def live_nodes(tape: Tape, roots: Sequence[int]) -> List[int]:
     return sorted(needed)
 
 
-def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool = False):
-    """Returns fn(inputs: dict name -> u32[B, limbs]) -> dict nid -> u32[B, limbs]
-    computing exactly the live nodes; call through jax.jit.
+def _vector_plan(tape: Tape, order: Sequence[int], skip: set):
+    """Group same-shaped live nodes at the same dataflow depth.
+
+    Returns (levels map, {group key: [nids]}, {nid: group key})."""
+    level: Dict[int, int] = {}
+    for nid in order:
+        node = tape.nodes[nid]
+        level[nid] = (
+            0 if not node.args else 1 + max(level[a] for a in node.args)
+        )
+    groups: Dict[tuple, List[int]] = {}
+    for nid in order:
+        node = tape.nodes[nid]
+        if node.op not in VEC_OPS or nid in skip:
+            continue
+        if node.op == "pick":
+            key = ("pick", node.args[0], _limbs(node.bits))
+        else:
+            key = (
+                level[nid], node.op, node.const, _limbs(node.bits),
+                tuple(_limbs(tape.nodes[a].bits) for a in node.args),
+            )
+        groups.setdefault(key, []).append(nid)
+    vgroups = {k: g for k, g in groups.items() if len(g) >= VEC_MIN}
+    member = {nid: k for k, g in vgroups.items() for nid in g}
+    return level, vgroups, member
+
+
+class _Bufs:
+    """Per-width slot buffers of vectorized values ([B, slots, L])."""
+
+    def __init__(self):
+        self.parts: Dict[int, List] = {}
+        self.cat: Dict[int, object] = {}
+
+    def append(self, L: int, arr):
+        self.parts.setdefault(L, []).append(arr)
+        self.cat.pop(L, None)
+
+    def full(self, L: int):
+        c = self.cat.get(L)
+        if c is None:
+            p = self.parts[L]
+            c = p[0] if len(p) == 1 else jnp.concatenate(p, axis=1)
+            self.parts[L] = [c]
+            self.cat[L] = c
+        return c
+
+
+def build_evaluator_packed(
+    tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool = False,
+    vectorize: bool = True,
+):
+    """Returns (fn, vec_slot). fn(inputs: dict name -> u32[B, limbs]) ->
+    (outs: dict nid -> u32[B, limbs], bufs: dict L -> u32[B, S, L]).
+    Roots lowered through a vector group are returned packed: vec_slot maps
+    such a root nid to its (L, slot-in-bufs[L]); all other roots are in outs.
+    Call through jax.jit.
 
     fuse_pallas_modmul: lower mod(mul(a, b), m) pairs (where the product has
     no other consumer) through the fused Pallas kernel — TPU only, opt-in."""
@@ -76,24 +152,98 @@ def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool =
                 fused[nid] = (src.args[0], src.args[1], node.const)
     fused_muls = {tape.nodes[nid].args[0] for nid in fused}
 
+    # ---- static vectorization plan ----
+    skip = set(fused) | fused_muls
+    if vectorize:
+        level, vgroups, member = _vector_plan(tape, order, skip)
+    else:
+        level = {nid: 0 for nid in order}
+        vgroups, member = {}, {}
+
+    # execution plan: level-major (a valid topological order even though
+    # group members are scattered through nid order); static slot layout
+    slot: Dict[int, Tuple[int, int]] = {}
+    counts: Dict[int, int] = {}
+    exec_plan: List[tuple] = []
+    gmeta: Dict[tuple, tuple] = {}
+    by_level: Dict[int, List[int]] = {}
+    for nid in order:
+        by_level.setdefault(level[nid], []).append(nid)
+    glevel: Dict[tuple, int] = {k: level[g[0]] for k, g in vgroups.items()}
+    for lv in sorted(by_level):
+        for nid in by_level[lv]:
+            if nid not in member:
+                exec_plan.append(("s", nid))
+        for key in sorted(
+            (k for k, v in glevel.items() if v == lv),
+            key=lambda k: vgroups[k][0],
+        ):
+            g = vgroups[key]
+            node0 = tape.nodes[g[0]]
+            inj: List[Tuple[int, int]] = []  # (src nid, width) append order
+            arg_idx: List[np.ndarray] = []
+            arg_L: List[int] = []
+            if node0.op != "pick":
+                for j in range(len(node0.args)):
+                    La = _limbs(tape.nodes[node0.args[j]].bits)
+                    idxs = []
+                    for nid in g:
+                        src = tape.nodes[nid].args[j]
+                        if src not in slot:
+                            slot[src] = (La, counts.get(La, 0))
+                            counts[La] = counts.get(La, 0) + 1
+                            inj.append((src, La))
+                        assert slot[src][0] == La
+                        idxs.append(slot[src][1])
+                    arg_idx.append(np.asarray(idxs, dtype=np.int32))
+                    arg_L.append(La)
+            Lout = _limbs(
+                node0.const if node0.op == "assume" else node0.bits
+            )
+            base = counts.get(Lout, 0)
+            for i, nid in enumerate(g):
+                slot[nid] = (Lout, base + i)
+            counts[Lout] = base + len(g)
+            gmeta[key] = (inj, arg_idx, arg_L, Lout)
+            exec_plan.append(("g", key))
+
+    # packed root layout (deterministic: sorted nid order per width)
+    vec_slot: Dict[int, Tuple[int, int]] = {}
+    pack: Dict[int, List[int]] = {}
+    for nid in sorted(roots_set):
+        if nid in member:
+            L, s = slot[nid]
+            vec_slot[nid] = (L, len(pack.setdefault(L, [])))
+            pack[L].append(s)
+    pack_idx = {L: np.asarray(s, dtype=np.int32) for L, s in pack.items()}
+
     def fn(inputs: Dict[str, jnp.ndarray]):
         vals: Dict[int, jnp.ndarray] = {}
+        bufs = _Bufs()
         B = None
         for arr in inputs.values():
             B = arr.shape[0]
             break
 
-        for nid in order:
+        def val(nid):
+            v = vals.get(nid)
+            if v is None:
+                L, s = slot[nid]
+                v = bufs.full(L)[:, s]
+                vals[nid] = v
+            return v
+
+        def run_scalar(nid):
             node: Node = tape.nodes[nid]
             op = node.op
             if nid in fused_muls:
-                continue  # consumed by a fused pallas mulmod
+                return  # consumed by a fused pallas mulmod
             if nid in fused:
                 from .modmul_pallas_bridge import fused_mul_mod
 
                 a_id, b_id, m = fused[nid]
-                vals[nid] = fused_mul_mod(m, vals[a_id], vals[b_id], _limbs(node.bits))
-                continue
+                vals[nid] = fused_mul_mod(m, val(a_id), val(b_id), _limbs(node.bits))
+                return
             if op == "input":
                 arr = inputs[input_names[nid]]
                 vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))
@@ -101,30 +251,30 @@ def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool =
                 arr = inputs[input_names[nid]]  # [B, K, limbs]
                 vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))
             elif op == "pick":
-                vals[nid] = vals[node.args[0]][:, node.const]
+                vals[nid] = val(node.args[0])[:, node.const]
             elif op == "const":
                 vals[nid] = jnp.broadcast_to(
                     _const_arr(node.const, _limbs(node.bits)), (B, _limbs(node.bits))
                 )
             elif op == "add":
-                a, b = vals[node.args[0]], vals[node.args[1]]
+                a, b = val(node.args[0]), val(node.args[1])
                 vals[nid] = ff.add_limbs(a, b, _limbs(node.bits))
             elif op == "sub":
-                a, b = vals[node.args[0]], vals[node.args[1]]
+                a, b = val(node.args[0]), val(node.args[1])
                 L = _limbs(node.bits)
                 t = ff.add_limbs(a, jnp.broadcast_to(_const_arr(node.const, L), (B, L)), L)
                 d, _ = ff.sub_limbs(t, b)
                 vals[nid] = d
             elif op == "mulc":
-                a = vals[node.args[0]]
+                a = val(node.args[0])
                 c = _const_arr(node.const, _limbs(max(node.const.bit_length(), 1)))
                 vals[nid] = ff.mul_limbs(a, jnp.broadcast_to(c, (B, c.shape[-1])),
                                          _limbs(node.bits))
             elif op == "mul":
-                a, b = vals[node.args[0]], vals[node.args[1]]
+                a, b = val(node.args[0]), val(node.args[1])
                 vals[nid] = ff.mul_limbs(a, b, _limbs(node.bits))
             elif op == "mod":
-                a = vals[node.args[0]]
+                a = val(node.args[0])
                 Lm = ff.n_limbs_for(node.const)
                 if a.shape[-1] <= 2 * Lm:
                     f = ff.make_field(node.const)
@@ -134,41 +284,139 @@ def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool =
                     _, r = ff.div_rem_by(spec, a)
                 vals[nid] = ff.pad_limbs(r, _limbs(node.bits))
             elif op == "div":
-                a = vals[node.args[0]]
+                a = val(node.args[0])
                 spec = _div_spec(node.const, max(a.shape[-1], ff.n_limbs_for(node.const) + 1))
                 q, _ = ff.div_rem_by(spec, ff.pad_limbs(a, spec.x_limbs))
                 vals[nid] = ff.pad_limbs(q, _limbs(node.bits))
             elif op == "assume":
-                a = vals[node.args[0]]
-                vals[nid] = ff.pad_limbs(a, _limbs(node.const))
+                vals[nid] = ff.pad_limbs(val(node.args[0]), _limbs(node.const))
             elif op == "andmask":
-                a = vals[node.args[0]]
+                a = val(node.args[0])
                 vals[nid] = ff.extract_bit_slice(a, 0, max(node.const.bit_length(), 1))
             elif op == "shr":
-                a = vals[node.args[0]]
+                a = val(node.args[0])
                 width = max(a.shape[-1] * 16 - node.const, 1)
                 vals[nid] = ff.extract_bit_slice(a, node.const, width)
             elif op == "inv":
-                a = vals[node.args[0]]
+                a = val(node.args[0])
                 m = node.const
                 f = ff.make_field(m)
                 vals[nid] = ff.pow_mod(f, ff.pad_limbs(a, f.L), m - 2)
             elif op == "powm":
                 e, m = node.const
                 f = ff.make_field(m)
-                vals[nid] = ff.pow_mod(f, ff.pad_limbs(vals[node.args[0]], f.L), e)
+                vals[nid] = ff.pow_mod(f, ff.pad_limbs(val(node.args[0]), f.L), e)
             elif op == "gather":
                 *val_ids, idx_id = node.args
                 L = _limbs(node.bits)
                 stacked = jnp.stack(
-                    [ff.pad_limbs(vals[v], L) for v in val_ids], axis=0
+                    [ff.pad_limbs(val(v), L) for v in val_ids], axis=0
                 )  # [K, B, L]
-                idx = vals[idx_id][..., 0].astype(jnp.int32)
+                idx = val(idx_id)[..., 0].astype(jnp.int32)
                 vals[nid] = stacked[idx, jnp.arange(B)]
             else:
                 raise NotImplementedError(op)
 
-        return {nid: vals[nid] for nid in roots_set}
+        def run_group(key):
+            g = vgroups[key]
+            node0 = tape.nodes[g[0]]
+            op = node0.op
+            inj, arg_idx, arg_L, Lout = gmeta[key]
+            G = len(g)
+            if op == "pick":
+                src = val(key[1])  # [B, K, Lv]
+                idx = np.asarray([tape.nodes[n].const for n in g], dtype=np.int32)
+                bufs.append(Lout, ff.pad_limbs(src[:, idx], Lout))
+                return
+            for src, La in inj:
+                bufs.append(La, ff.pad_limbs(val(src), La)[:, None, :])
+            args = [
+                bufs.full(La)[:, idx] for idx, La in zip(arg_idx, arg_L)
+            ]
+            if op == "add":
+                out = ff.add_limbs(args[0], args[1], Lout)
+            elif op == "sub":
+                a, b = args
+                t = ff.add_limbs(
+                    a, jnp.broadcast_to(_const_arr(node0.const, Lout), (B, G, Lout)),
+                    Lout,
+                )
+                out, _ = ff.sub_limbs(t, b)
+            elif op == "mulc":
+                c = _const_arr(node0.const, _limbs(max(node0.const.bit_length(), 1)))
+                out = ff.mul_limbs(
+                    args[0], jnp.broadcast_to(c, (B, G, c.shape[-1])), Lout
+                )
+            elif op == "mul":
+                out = ff.mul_limbs(args[0], args[1], Lout)
+            elif op == "mod":
+                a = args[0]
+                Lm = ff.n_limbs_for(node0.const)
+                if a.shape[-1] <= 2 * Lm:
+                    f = ff.make_field(node0.const)
+                    r = ff.barrett_reduce(f, ff.pad_limbs(a, 2 * Lm))
+                else:
+                    spec = _div_spec(node0.const, a.shape[-1])
+                    _, r = ff.div_rem_by(spec, a)
+                out = r
+            elif op == "div":
+                a = args[0]
+                spec = _div_spec(
+                    node0.const, max(a.shape[-1], ff.n_limbs_for(node0.const) + 1)
+                )
+                q, _ = ff.div_rem_by(spec, ff.pad_limbs(a, spec.x_limbs))
+                out = q
+            elif op == "assume":
+                out = args[0]
+            elif op == "andmask":
+                out = ff.extract_bit_slice(
+                    args[0], 0, max(node0.const.bit_length(), 1)
+                )
+            elif op == "shr":
+                width = max(args[0].shape[-1] * 16 - node0.const, 1)
+                out = ff.extract_bit_slice(args[0], node0.const, width)
+            elif op == "inv":
+                f = ff.make_field(node0.const)
+                out = ff.pow_mod(
+                    f, ff.pad_limbs(args[0], f.L), node0.const - 2
+                )
+            elif op == "powm":
+                e, m = node0.const
+                f = ff.make_field(m)
+                out = ff.pow_mod(f, ff.pad_limbs(args[0], f.L), e)
+            else:  # pragma: no cover
+                raise NotImplementedError(op)
+            bufs.append(Lout, ff.pad_limbs(out, Lout))
+
+        for kind, x in exec_plan:
+            if kind == "s":
+                run_scalar(x)
+            else:
+                run_group(x)
+
+        outs = {nid: val(nid) for nid in roots_set if nid not in vec_slot}
+        out_bufs = {L: bufs.full(L)[:, idx] for L, idx in pack_idx.items()}
+        return outs, out_bufs
 
     fn.fused_count = len(fused)
+    fn.vec_count = len(member)
+    return fn, vec_slot
+
+
+def build_evaluator(tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool = False):
+    """Back-compat form: fn(inputs) -> dict nid -> u32[B, limbs] with every
+    root materialised individually (use build_evaluator_packed for tapes
+    with many vectorized roots — per-root slicing here re-expands the graph)."""
+    packed, vec_slot = build_evaluator_packed(
+        tape, roots, fuse_pallas_modmul=fuse_pallas_modmul
+    )
+
+    def fn(inputs):
+        outs, bufs = packed(inputs)
+        out = dict(outs)
+        for nid, (L, i) in vec_slot.items():
+            out[nid] = bufs[L][:, i]
+        return out
+
+    fn.fused_count = packed.fused_count
     return fn

@@ -33,7 +33,7 @@ from ..core.context import Context
 from ..core.records import RegionTable, Records
 from ..kernels import ff_jax as ff
 from ..ops.ecc_ops import UnsafeError
-from .evaluator import build_evaluator
+from .evaluator import build_evaluator_packed
 from .symbolic import SymVal, Tape
 
 
@@ -126,6 +126,7 @@ class Template:
         self.strides: Tuple[int, int, int] = (0, 0, 0)
         self.outputs = None  # pytree with AssignedValue leaves
         self._eval = None
+        self._eval_slot = None  # nid -> (L, slot) for packed roots
         self._placeholder_cells: Dict[Cell, str] = {}
 
     # -- tracing --
@@ -212,11 +213,15 @@ class Template:
                 )
 
     def evaluator(self):
+        """Jitted packed evaluator: fn(inputs) -> (outs {nid: u32[B, L]},
+        bufs {L: u32[B, S, L]}); self._eval_slot maps vectorized root nids
+        to their (L, slot) in bufs."""
         if self._eval is None:
             fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
-            self._eval = jax.jit(
-                build_evaluator(self.tape, tuple(self._roots()), fuse_pallas_modmul=fuse)
+            fn, self._eval_slot = build_evaluator_packed(
+                self.tape, tuple(self._roots()), fuse_pallas_modmul=fuse
             )
+            self._eval = jax.jit(fn)
         return self._eval
 
     # -- fully device-resident emission (no host transfer) --
@@ -269,7 +274,9 @@ class Template:
 
         roots = tuple(self._roots())
         fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
-        ev = build_evaluator(self.tape, roots, fuse_pallas_modmul=fuse)
+        ev, eslot = build_evaluator_packed(
+            self.tape, roots, fuse_pallas_modmul=fuse
+        )
         region_info = self._region_const_info()
         vec_groups = []
         for v in _iter_vecs(self.outputs):
@@ -295,51 +302,97 @@ class Template:
                 )
             return v[..., :16]
 
-        # ONE batched scatter per region (not one .at[].set per captured
-        # cell): with thousands of captures the per-cell form made jit
-        # tracing/lowering the dominant per-process cost (~minutes for the
-        # decompose/keccak tapes) and bloated the compiled graph.
-        cap_info = []
+        # Captures per region, split by source: individually-computed roots
+        # (stacked) vs vectorized roots (ONE gather from the packed buffer
+        # per width) — scatters stay O(1) per region even for keccak-sized
+        # capture counts (~19k cells/round).
+        cap_scalar = []
+        cap_vec = []
         for info in region_info:
             if info is None or not info[3]:
-                cap_info.append(None)
+                cap_scalar.append(None)
+                cap_vec.append(None)
                 continue
             _, _, _, captures = info
-            cap_info.append(
+            s_rows, s_cols, s_nids = [], [], []
+            byw: Dict[int, list] = {}
+            for (r, c, nid) in captures:
+                if nid in eslot:
+                    L, i = eslot[nid]
+                    byw.setdefault(L, []).append((r, c, i))
+                else:
+                    s_rows.append(r)
+                    s_cols.append(c)
+                    s_nids.append(nid)
+            cap_scalar.append(
                 (
-                    np.array([r for (r, _, _) in captures], dtype=np.int32),
-                    np.array([c for (_, c, _) in captures], dtype=np.int32),
-                    [nid for (_, _, nid) in captures],
+                    np.array(s_rows, dtype=np.int32),
+                    np.array(s_cols, dtype=np.int32),
+                    s_nids,
                 )
+                if s_nids
+                else None
+            )
+            cap_vec.append(
+                {
+                    L: (
+                        np.array([r for (r, _, _) in entries], dtype=np.int32),
+                        np.array([c for (_, c, _) in entries], dtype=np.int32),
+                        np.array([i for (_, _, i) in entries], dtype=np.int32),
+                    )
+                    for L, entries in byw.items()
+                }
+                or None
             )
 
         def emit(inputs):
-            out = ev(inputs)
+            outs, bufs = ev(inputs)
             B = next(iter(inputs.values())).shape[0]
+
+            def take(nid):
+                v = outs.get(nid)
+                if v is None:
+                    L, i = eslot[nid]
+                    v = bufs[L][:, i]
+                return v
+
             slabs = {}
             for ridx, info in enumerate(region_info):
                 if info is None:
                     continue
                 stride, n_adv, const, captures = info
                 tbl = jnp.broadcast_to(jnp.asarray(const), (B, stride, n_adv, 16))
-                if cap_info[ridx] is not None:
-                    rows, cols, nids = cap_info[ridx]
-                    stacked = jnp.stack([pad16(out[nid]) for nid in nids], axis=1)
+                if cap_scalar[ridx] is not None:
+                    rows, cols, nids = cap_scalar[ridx]
+                    stacked = jnp.stack([pad16(take(nid)) for nid in nids], axis=1)
                     tbl = tbl.at[:, rows, cols, :].set(stacked)
+                if cap_vec[ridx] is not None:
+                    for L, (rows, cols, idxs) in cap_vec[ridx].items():
+                        tbl = tbl.at[:, rows, cols, :].set(
+                            pad16(bufs[L][:, idxs])
+                        )
                 slabs[ridx] = tbl
-            outvals = {nid: pad16(out[nid]) for nid in out_nids}
+            outvals = {nid: pad16(take(nid)) for nid in out_nids}
             for i, group in enumerate(vec_groups):
-                outvals[("vec", i)] = jnp.stack(
-                    [pad16(out[nid]) for nid in group], axis=1
-                )
+                # stacked leaf group: one gather when all leaves share a
+                # packed width, else per-leaf stack
+                ws = {eslot[nid][0] for nid in group if nid in eslot}
+                if len(ws) == 1 and all(nid in eslot for nid in group):
+                    L = next(iter(ws))
+                    idx = np.array([eslot[nid][1] for nid in group], dtype=np.int32)
+                    outvals[("vec", i)] = pad16(bufs[L][:, idx])
+                else:
+                    outvals[("vec", i)] = jnp.stack(
+                        [pad16(take(nid)) for nid in group], axis=1
+                    )
             diverged = jnp.zeros((), jnp.bool_)
             for nid, const in aec:
-                arr = out[nid]
+                arr = take(nid)
                 want = jnp.asarray(ff.int_to_limbs(const, arr.shape[-1]))
                 diverged = diverged | ~jnp.all(arr == want)
             width_bad = jnp.zeros((), jnp.bool_)
             for nid, k in achk:
-                arr = out[nid]
+                arr = take(nid)
                 L = (k + 15) // 16
                 if arr.shape[-1] > L:
                     width_bad = width_bad | jnp.any(arr[..., L:] != 0)
@@ -378,12 +431,35 @@ class Template:
 
         roots = tuple(self._roots())
         fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
-        ev = build_evaluator(self.tape, roots, fuse_pallas_modmul=fuse)
+        ev, eslot = build_evaluator_packed(
+            self.tape, roots, fuse_pallas_modmul=fuse
+        )
         region_info = self._region_const_info()
 
         def emit(inputs):
-            out = ev(inputs)
+            outs, bufs = ev(inputs)
             B = next(iter(inputs.values())).shape[0]
+
+            def pad16(v):
+                if v.shape[-1] < 16:
+                    return jnp.concatenate(
+                        [
+                            v,
+                            jnp.zeros(
+                                v.shape[:-1] + (16 - v.shape[-1],), jnp.uint32
+                            ),
+                        ],
+                        axis=-1,
+                    )
+                return v[..., :16]
+
+            def take(nid):
+                v = outs.get(nid)
+                if v is None:
+                    L, i = eslot[nid]
+                    v = bufs[L][:, i]
+                return v
+
             tables = {}
             for ridx, info in enumerate(region_info):
                 if info is None:
@@ -393,27 +469,25 @@ class Template:
                     jnp.asarray(const), (B, stride, n_adv, 16)
                 )
                 if captures:
-                    rows = np.array([r for (r, _, _) in captures], dtype=np.int32)
-                    cols = np.array([c for (_, c, _) in captures], dtype=np.int32)
-
-                    def pad16(v):
-                        if v.shape[-1] < 16:
-                            return jnp.concatenate(
-                                [
-                                    v,
-                                    jnp.zeros(
-                                        v.shape[:-1] + (16 - v.shape[-1],),
-                                        jnp.uint32,
-                                    ),
-                                ],
-                                axis=-1,
+                    s_caps = [(r, c, n) for (r, c, n) in captures if n not in eslot]
+                    if s_caps:
+                        rows = np.array([r for (r, _, _) in s_caps], dtype=np.int32)
+                        cols = np.array([c for (_, c, _) in s_caps], dtype=np.int32)
+                        stacked = jnp.stack(
+                            [pad16(take(nid)) for (_, _, nid) in s_caps], axis=1
+                        )
+                        tbl = tbl.at[:, rows, cols, :].set(stacked)
+                    byw: Dict[int, list] = {}
+                    for (r, c, n) in captures:
+                        if n in eslot:
+                            byw.setdefault(eslot[n][0], []).append(
+                                (r, c, eslot[n][1])
                             )
-                        return v[..., :16]
-
-                    stacked = jnp.stack(
-                        [pad16(out[nid]) for (_, _, nid) in captures], axis=1
-                    )
-                    tbl = tbl.at[:, rows, cols, :].set(stacked)
+                    for L, entries in byw.items():
+                        rows = np.array([r for (r, _, _) in entries], dtype=np.int32)
+                        cols = np.array([c for (_, c, _) in entries], dtype=np.int32)
+                        idxs = np.array([i for (_, _, i) in entries], dtype=np.int32)
+                        tbl = tbl.at[:, rows, cols, :].set(pad16(bufs[L][:, idxs]))
                 tables[ridx] = tbl
             return tables
 
@@ -512,6 +586,13 @@ class Template:
             else:
                 self._validate_input_widths(inputs)
                 slabs, outvals, flags = self.slab_value_emitter()(inputs)
+            if os.environ.get("HALO2ECC_TPU_SYNC_DISPATCH"):
+                # block per dispatch: on the 8-virtual-device CPU backend a
+                # lazy jit compile (minutes, all cores) concurrent with an
+                # in-flight collective starves its participant threads past
+                # XLA's 40s rendezvous timeout -> hard abort. Serial
+                # execution trades pipelining for survival (dryrun only).
+                jax.block_until_ready(slabs)
             deferred.append(
                 _Deferred(ctx=ctx, slabs=slabs, flags=flags, slab0=slab0,
                           strides=strides, lanes=B)
@@ -526,10 +607,24 @@ class Template:
         else:
             # 2. evaluate the tape (after validating arrays fit declared
             # widths — the evaluator truncates to the declared limb count, so
-            # oversized values would silently corrupt witnesses)
+            # oversized values would silently corrupt witnesses). Vectorized
+            # roots come back packed per width; fetch the buffers once and
+            # slice per use in numpy (no per-root device graph expansion).
             self._validate_input_widths(inputs)
-            out = self.evaluator()(inputs)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            outs_d, bufs_d = self.evaluator()(inputs)
+            outs_np = {k: np.asarray(v) for k, v in outs_d.items()}
+            bufs_np = {L: np.asarray(v) for L, v in bufs_d.items()}
+            eslot = self._eval_slot
+
+            class _OutView:
+                def __getitem__(self, nid):
+                    v = outs_np.get(nid)
+                    if v is None:
+                        L, i = eslot[nid]
+                        v = bufs_np[L][:, i]
+                    return v
+
+            out = _OutView()
 
             # 3. divergence checks (UnsafeError retry protocol)
             for nid, const in self.tape.assume_equal_const:
