@@ -40,36 +40,53 @@ import numpy as np
 REFERENCE_ROWS_PER_SEC = 160e6
 
 
-def bench_msm(n_points: int, iters: int):
+def bench_msm(n_points: int, iters: int, n_inst: int = 1):
     """Batched MSM witness generation, device-resident pipeline (the
-    flagship workload: ecc_chip.rs:223-371). End-to-end per build: host
+    flagship workload: ecc_chip.rs:223-371). n_inst > 1 witnesses that many
+    independent MSMs per pipeline run (proof-batching serving shape): every
+    phase's lane axis carries instance x own-axis, so fixed per-dispatch
+    launch costs amortise across instances. End-to-end per build: host
     layout + jitted per-phase value/slab emitters chained on device + one
     fetch into Records + scalar final accumulation. Returns
     (points_per_sec, rows_per_sec, total_rows)."""
     from halo2ecc_s_tpu.batch.msm_batch import BatchMsm
     from halo2ecc_s_tpu.models.msm import random_msm_instance
 
-    points, scalars, _ = random_msm_instance(n_points, seed=11)
+    instances = [
+        random_msm_instance(n_points, seed=11 + i)[:2] for i in range(n_inst)
+    ]
     bm = BatchMsm()
+
+    def run(seed):
+        if n_inst == 1:
+            return bm.build(
+                instances[0][0], instances[0][1], seed=seed, device=True,
+                write_tables=False,
+            )
+        return bm.build_many(
+            instances, seed=seed, device=True, write_tables=False
+        )
+
     # warmup: template traces + jit compiles (persistent-cached)
     t0 = time.perf_counter()
-    ecc, _res = bm.build(points, scalars, seed=1, device=True, write_tables=False)
+    ecc, _res = run(1)
     warm_secs = time.perf_counter() - t0
     total_rows = sum(ecc.ctx.offsets())
     print(f"# msm warmup build: {warm_secs:.1f}s, {total_rows} rows", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        bm.build(points, scalars, seed=i + 2, device=True, write_tables=False)
+        run(i + 2)
     dt = time.perf_counter() - t0
-    pts_per_sec = n_points * iters / dt
+    pts_per_sec = n_points * n_inst * iters / dt
     rows_per_sec = total_rows * iters / dt
     print(
         f"# msm witness gen: {pts_per_sec:.1f} points/s, "
-        f"{rows_per_sec/1e6:.1f}M rows/s; n={n_points} iters={iters} "
-        f"rows/build={total_rows} (advice slabs device-resident in HBM; "
-        f"safety flags + chained outputs fetched; Records host writes "
-        f"skipped — verified end-to-end by tests/test_msm_batch.py)",
+        f"{rows_per_sec/1e6:.1f}M rows/s; n={n_points} x {n_inst} instances "
+        f"iters={iters} rows/build={total_rows} (advice slabs "
+        f"device-resident in HBM; safety flags + chained outputs fetched; "
+        f"Records host writes skipped — verified end-to-end by "
+        f"tests/test_msm_batch.py)",
         file=sys.stderr,
     )
     return pts_per_sec, rows_per_sec, total_rows
@@ -172,7 +189,8 @@ def main():
         try:
             n_msm = int(os.environ.get("BENCH_MSM_POINTS", 500))
             msm_iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
-            pts_s, msm_rows_s, msm_rows = bench_msm(n_msm, msm_iters)
+            n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 8))
+            pts_s, msm_rows_s, msm_rows = bench_msm(n_msm, msm_iters, n_inst)
             result = {
                 "metric": "msm_witness_points_per_sec",
                 "value": round(pts_s, 1),
@@ -180,6 +198,7 @@ def main():
                 # rows-normalised ratio vs the measured 64-core proxy
                 "vs_baseline": round(msm_rows_s / REFERENCE_ROWS_PER_SEC, 3),
                 "msm_points": n_msm,
+                "msm_instances": n_inst,
                 "msm_rows_per_build": msm_rows,
                 "msm_rows_per_sec": round(msm_rows_s, 1),
                 "int_mul_rows_per_sec": round(rows_per_sec, 1),

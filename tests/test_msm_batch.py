@@ -54,6 +54,52 @@ def test_msm_batch_device_bit_exact():
     run_circuit(ecc_d.ctx, 22)
 
 
+def test_msm_batch_chain_scan_bit_exact():
+    """Second device build (all templates cached) runs the phase-5 final-
+    accumulation chain as ONE lax.scan dispatch; Records must be bit-exact
+    with the first (per-step) build and verify."""
+    import numpy as np
+
+    points, scalars, expect = random_msm_instance(10, seed=5)
+    bm = BatchMsm()
+    ecc_1, res_1 = bm.build(points, scalars, seed=123, device=True)
+    assert not bm._scan_jits  # first build traces per-step
+    ecc_2, res_2 = bm.build(points, scalars, seed=123, device=True)
+    assert bm._scan_jits, "chain scan did not engage on the warm build"
+
+    for th, td in (
+        (ecc_1.ctx.records.base, ecc_2.ctx.records.base),
+        (ecc_1.ctx.records.range, ecc_2.ctx.records.range),
+        (ecc_1.ctx.records.select, ecc_2.ctx.records.select),
+    ):
+        assert th.height == td.height
+        h = th.height
+        np.testing.assert_array_equal(th.adv_vals[:h], td.adv_vals[:h])
+        np.testing.assert_array_equal(th.adv_set[:h], td.adv_set[:h])
+        np.testing.assert_array_equal(th.fix_vals[:h], td.fix_vals[:h])
+        np.testing.assert_array_equal(th.fix_set[:h], td.fix_set[:h])
+    assert res_1.x.native.val == res_2.x.native.val
+    assert res_1.y.native.val == res_2.y.native.val
+    ecc_2.ecc_assert_equal(res_2, ecc_2.assign_point(expect))
+    run_circuit(ecc_2.ctx, 22)
+
+
+def test_msm_batch_chain_scan_window_phase():
+    """65 points (13 groups) engages the phase-4 window-chain scan on the
+    warm build; result matches the oracle and verifies. XSLOW."""
+    import os
+
+    if "HALO2ECC_TPU_RUN_XSLOW" not in os.environ:
+        pytest.skip("set HALO2ECC_TPU_RUN_XSLOW=1")
+    points, scalars, expect = random_msm_instance(65, seed=9)
+    bm = BatchMsm()
+    bm.build(points, scalars, seed=55, device=True)
+    ecc, res = bm.build(points, scalars, seed=55, device=True)
+    assert any(k[0] == "p4" for k in bm._scan_jits), "phase-4 scan not engaged"
+    ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    run_circuit(ecc.ctx, 23)
+
+
 def test_msm_batch_no_select_chip():
     """Group-2 variant (no select chip, in-circuit bisec candidate trees —
     ecc_chip.rs:91-221); n=5 pads to 8 points / 4 groups."""
@@ -107,6 +153,34 @@ def test_msm_batch_sharded_bit_exact():
 
     ecc_m.ecc_assert_equal(res_m, ecc_m.assign_point(expect))
     run_circuit(ecc_m.ctx, 22)
+
+
+def test_msm_batch_multi_instance():
+    """build_many: 2 independent 10-point MSMs witnessed in one pipeline run
+    (every phase's lane axis carries instance x own-axis); each result must
+    match its host oracle and the combined trace verifies."""
+    insts = [random_msm_instance(10, seed=s) for s in (31, 32)]
+    bm = BatchMsm()
+    ecc, results = bm.build_many(
+        [(p, s) for p, s, _ in insts], seed=77, device=True,
+    )
+    assert len(results) == 2
+    for (_, _, expect), res in zip(insts, results):
+        ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    run_circuit(ecc.ctx, 23)
+
+
+def test_msm_batch_general_scalar_bls():
+    """Batched general-scalar MSM: bls12-381 points/scalars witnessed over
+    bn254 Fr (general_scalar_ecc_chip.rs:93-169) — 4-limb coordinates,
+    per-limb-halving decomposition (324 windows)."""
+    from halo2ecc_s_tpu.utils.fields import bls12_381
+
+    points, scalars, expect = random_msm_instance(5, curve=bls12_381(), seed=13)
+    bm = BatchMsm(curve=bls12_381(), general_scalar=True)
+    ecc, res = bm.build(points, scalars, seed=31)
+    ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    run_circuit(ecc.ctx, 23)
 
 
 def test_msm_batch_10_points():
