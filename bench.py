@@ -176,9 +176,12 @@ def main():
         file=sys.stderr,
     )
 
-    # flagship workload: batched MSM witness generation (device-resident),
-    # the reference's north-star metric. Falls back to the int_mul headline
-    # if the MSM bench fails (cold-compile timeout etc).
+    # Headline: device-resident witness-gen rows/s on the SAME workload the
+    # measured baseline proxy implements (int_mul templates — apples to
+    # apples vs native/baseline_proxy.cpp). The MSM serving numbers
+    # (multi-instance batched pipeline, per-dispatch costs amortised across
+    # instances) are reported alongside; their per-row cost includes EC
+    # adds/selects with no direct baseline counterpart.
     result = {
         "metric": "witness_gen_rows_per_sec",
         "value": round(rows_per_sec, 1),
@@ -191,19 +194,13 @@ def main():
             msm_iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
             n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 8))
             pts_s, msm_rows_s, msm_rows = bench_msm(n_msm, msm_iters, n_inst)
-            result = {
-                "metric": "msm_witness_points_per_sec",
-                "value": round(pts_s, 1),
-                "unit": "points/s",
-                # rows-normalised ratio vs the measured 64-core proxy
-                "vs_baseline": round(msm_rows_s / REFERENCE_ROWS_PER_SEC, 3),
+            result.update({
+                "msm_points_per_sec": round(pts_s, 1),
                 "msm_points": n_msm,
                 "msm_instances": n_inst,
                 "msm_rows_per_build": msm_rows,
                 "msm_rows_per_sec": round(msm_rows_s, 1),
-                "int_mul_rows_per_sec": round(rows_per_sec, 1),
-                "int_mul_vs_baseline": round(rows_per_sec / REFERENCE_ROWS_PER_SEC, 3),
-            }
+            })
         except Exception as e:  # pragma: no cover
             print(f"# msm bench failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))

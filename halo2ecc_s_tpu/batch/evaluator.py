@@ -41,6 +41,8 @@ VEC_OPS = {
     "pick", "div", "inv", "powm",
 }
 VEC_MIN = 8  # don't bother batching groups smaller than this
+# ops whose const generalises to a per-member static array inside a group
+CONST_ARRAY_OPS = {"shr", "andmask", "mulc", "sub", "assume"}
 
 
 @lru_cache(maxsize=None)
@@ -82,6 +84,15 @@ def _vector_plan(tape: Tape, order: Sequence[int], skip: set):
             continue
         if node.op == "pick":
             key = ("pick", node.args[0], _limbs(node.bits))
+        elif node.op in CONST_ARRAY_OPS:
+            # const becomes a per-member static array (shift/mask/multiplier
+            # /sub-lift/assume-width), so differently-parameterised nodes of
+            # one shape still share a group — range-chunk decompositions
+            # (shr/andmask sweeps) are the bulk of ecc witness tapes
+            key = (
+                level[nid], node.op, _limbs(node.bits),
+                tuple(_limbs(tape.nodes[a].bits) for a in node.args),
+            )
         else:
             key = (
                 level[nid], node.op, node.const, _limbs(node.bits),
@@ -337,15 +348,23 @@ def build_evaluator_packed(
                 out = ff.add_limbs(args[0], args[1], Lout)
             elif op == "sub":
                 a, b = args
+                # per-member underflow lifts as one static [G, Lout] array
+                lifts = jnp.asarray(np.stack(
+                    [ff.int_to_limbs(tape.nodes[n].const, Lout) for n in g]
+                ))
                 t = ff.add_limbs(
-                    a, jnp.broadcast_to(_const_arr(node0.const, Lout), (B, G, Lout)),
-                    Lout,
+                    a, jnp.broadcast_to(lifts, (B, G, Lout)), Lout
                 )
                 out, _ = ff.sub_limbs(t, b)
             elif op == "mulc":
-                c = _const_arr(node0.const, _limbs(max(node0.const.bit_length(), 1)))
+                Lc = max(
+                    _limbs(max(tape.nodes[n].const.bit_length(), 1)) for n in g
+                )
+                c = jnp.asarray(np.stack(
+                    [ff.int_to_limbs(tape.nodes[n].const, Lc) for n in g]
+                ))
                 out = ff.mul_limbs(
-                    args[0], jnp.broadcast_to(c, (B, G, c.shape[-1])), Lout
+                    args[0], jnp.broadcast_to(c, (B, G, Lc)), Lout
                 )
             elif op == "mul":
                 out = ff.mul_limbs(args[0], args[1], Lout)
@@ -369,12 +388,15 @@ def build_evaluator_packed(
             elif op == "assume":
                 out = args[0]
             elif op == "andmask":
-                out = ff.extract_bit_slice(
-                    args[0], 0, max(node0.const.bit_length(), 1)
+                widths = np.asarray(
+                    [max(tape.nodes[n].const.bit_length(), 1) for n in g]
+                )
+                out = ff.extract_bit_slice_vec(
+                    args[0], np.zeros(G, np.int64), Lout, widths
                 )
             elif op == "shr":
-                width = max(args[0].shape[-1] * 16 - node0.const, 1)
-                out = ff.extract_bit_slice(args[0], node0.const, width)
+                starts = np.asarray([tape.nodes[n].const for n in g])
+                out = ff.extract_bit_slice_vec(args[0], starts, Lout)
             elif op == "inv":
                 f = ff.make_field(node0.const)
                 out = ff.pow_mod(

@@ -386,6 +386,40 @@ def extract_bit_slice(x, start_bit: int, width_bits: int):
     return jnp.stack(outs, axis=-1)
 
 
+def extract_bit_slice_vec(x, starts: np.ndarray, out_limbs: int,
+                          width_bits: np.ndarray = None):
+    """Per-slot bit slices of a [B, G, L] limb tensor: slot g yields bits
+    [starts[g], starts[g] + width_bits[g]) as out_limbs 16-bit limbs
+    (width defaults to to-the-end; zero beyond the source). starts/widths
+    are static numpy arrays — shifts/masks lower to elementwise ops on
+    gathered limbs, so a whole group of differently-shifted extractions
+    (range-chunk decompositions) is ONE tensor op instead of G op chains."""
+    G, L = x.shape[-2], x.shape[-1]
+    starts = np.asarray(starts, dtype=np.int64)
+    i0 = starts // LIMB_BITS
+    sh = (starts % LIMB_BITS).astype(np.uint32)  # [G]
+    k = np.arange(out_limbs, dtype=np.int64)[None, :]  # [1, Lout]
+    idx = i0[:, None] + k  # [G, Lout]
+    v0 = (idx < L).astype(np.uint32)
+    v1 = (idx + 1 < L).astype(np.uint32)
+    idx0 = np.minimum(idx, L - 1)
+    idx1 = np.minimum(idx + 1, L - 1)
+    g = jnp.arange(G)[:, None]
+    lo = x[..., g, idx0] >> sh[:, None]
+    # avoid shifting by 16 when sh == 0 (mask the term instead)
+    hi_sh = ((LIMB_BITS - sh) % LIMB_BITS).astype(np.uint32)
+    hi_on = (sh > 0).astype(np.uint32)[:, None]
+    hi = ((x[..., g, idx1] << hi_sh[:, None]) & LIMB_MASK) * (hi_on * v1)
+    out = (lo * v0 | hi) & LIMB_MASK
+    if width_bits is not None:
+        rem = np.clip(
+            np.asarray(width_bits, dtype=np.int64)[:, None] - k * LIMB_BITS,
+            0, LIMB_BITS,
+        )
+        out = out & ((np.uint32(1) << rem.astype(np.uint32)) - 1)
+    return out
+
+
 def extract_chunks(x, chunk_bits: int, count: int):
     """Split a limb vector into `count` chunks of chunk_bits bits each."""
     L = x.shape[-1]
