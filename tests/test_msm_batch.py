@@ -155,6 +155,27 @@ def test_msm_batch_sharded_bit_exact():
     run_circuit(ecc_m.ctx, 22)
 
 
+def test_msm_batch_1000_points():
+    """Reference scale demo: 1000-point MSM at k=23
+    (native_scalar_ecc_chip.rs:60), end-to-end verified. XSLOW."""
+    import os
+
+    if "HALO2ECC_TPU_RUN_XSLOW" not in os.environ:
+        pytest.skip("set HALO2ECC_TPU_RUN_XSLOW=1")
+    import time
+
+    points, scalars, expect = random_msm_instance(1000, seed=10)
+    bm = BatchMsm()
+    t0 = time.time()
+    ecc, res = bm.build(points, scalars, seed=44, device=True)
+    build_secs = time.time() - t0
+    ecc.ecc_assert_equal(res, ecc.assign_point(expect))
+    rows = sum(ecc.ctx.offsets())
+    assert rows < (1 << 23)  # fits k=23 like the reference
+    print(f"1000-pt MSM: {build_secs:.1f}s build, {rows} rows")
+    run_circuit(ecc.ctx, 23)
+
+
 def test_msm_batch_multi_instance():
     """build_many: 2 independent 10-point MSMs witnessed in one pipeline run
     (every phase's lane axis carries instance x own-axis); each result must

@@ -69,6 +69,15 @@ def test_batched_check_pairing_full():
     pn = bops.assign_g1([q[0] for q in neg_pts], [q[1] for q in neg_pts])
     q = bops.assign_g2(g2_pts)
     bops.check_pairing([(p, q), (pn, q)])
+    # row-overhead accounting: the batched context reduces eagerly (no lazy
+    # `times` chains), costing extra reduce rows per op vs the scalar path's
+    # k=22 circuit; record rows/lane and check a batched pairing still fits
+    # the reference's table capacity (2^23, context.rs:36)
+    rows = ctx.offsets()
+    total = sum(rows)
+    print(f"batched pairing: B={B} rows={rows} total={total} "
+          f"({total / B:.0f} rows/lane incl. shared constants)")
+    assert max(rows) < (1 << 23)
     run_circuit(ctx, 23)
 
 
