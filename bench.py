@@ -192,7 +192,9 @@ def main():
         try:
             n_msm = int(os.environ.get("BENCH_MSM_POINTS", 500))
             msm_iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
-            n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 8))
+            # 4 x 500-pt instances keep the resident packed advice slabs
+            # (~4 GB) comfortably inside one v5e's 16 GB HBM
+            n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 4))
             pts_s, msm_rows_s, msm_rows = bench_msm(n_msm, msm_iters, n_inst)
             result.update({
                 "msm_points_per_sec": round(pts_s, 1),

@@ -251,7 +251,8 @@ class Template:
 
     def slab_value_emitter(self):
         """Jitted fn(inputs) -> (slabs, outvals, flags) computing, fully on
-        device: the advice slabs ({ridx: u32[B, stride, n_adv, 16]}), the
+        device: the advice slabs ({ridx: u32[B, stride, n_adv, 8] —
+        packed 16-bit limb pairs}), the
         output-leaf values ({nid: u32[B, 16]}), and deferred safety flags
         ({'diverged': bool, 'width_bad': bool} — checked once at
         finalize_deferred, preserving the UnsafeError retry protocol without
@@ -371,7 +372,9 @@ class Template:
                         tbl = tbl.at[:, rows, cols, :].set(
                             pad16(bufs[L][:, idxs])
                         )
-                slabs[ridx] = tbl
+                # pack 16-bit limb pairs into u32 words: halves the HBM
+                # footprint of resident slabs and the drain transfer
+                slabs[ridx] = tbl[..., 0::2] | (tbl[..., 1::2] << 16)
             outvals = {nid: pad16(take(nid)) for nid in out_nids}
             for i, group in enumerate(vec_groups):
                 # stacked leaf group: one gather when all leaves share a
@@ -725,7 +728,7 @@ class _Deferred:
     unchecked, advice-table writes pending."""
 
     ctx: Context
-    slabs: dict  # ridx -> u32[B_pad, stride, n_adv, 16] (device)
+    slabs: dict  # ridx -> u32[B_pad, stride, n_adv, 8] (device; packed 16-bit limb pairs)
     flags: dict  # {'diverged': bool0, 'width_bad': bool0} (device)
     slab0: tuple  # per-region int64[B] slab starts
     strides: tuple
@@ -783,8 +786,11 @@ def finalize_deferred(deferred: list, write: bool = True) -> None:
 
 
 def _write_slab(tbl, arr: np.ndarray, starts: np.ndarray, stride: int) -> None:
+    # arr carries u32-packed 16-bit limb pairs ([..., 8]); combine into the
+    # Records' u64x4 words
     B, _stride, n_adv, _ = arr.shape
-    packed = ff.limbs16_to_u64x4(arr.reshape(B * _stride, n_adv, 16))
+    a = arr.reshape(B * _stride, n_adv, 8).astype(np.uint64)
+    packed = a[..., 0::2] | (a[..., 1::2] << np.uint64(32))
     s0 = int(starts[0])
     if B == 1 or (np.all(np.diff(starts) == stride) and starts.size == B):
         tbl.adv_vals[s0 : s0 + B * stride] = packed
