@@ -92,6 +92,46 @@ def bench_msm(n_points: int, iters: int, n_inst: int = 1):
     return pts_per_sec, rows_per_sec, total_rows
 
 
+def bench_keccak(B: int, iters: int):
+    """Batched keccak256 witness generation (keccak_chip.rs:61-165), serving
+    mode: B lanes of decompose/absorb/24 rounds/compose templates chained as
+    device tensors, advice slabs resident in HBM (write_tables=False).
+    Returns (hashes_per_sec, rows_per_sec, rows_per_build)."""
+    from halo2ecc_s_tpu.batch.keccak_batch import BatchKeccak
+    from halo2ecc_s_tpu.utils.fields import BN254_FR
+
+    rng = np.random.default_rng(5)
+    bk = BatchKeccak()
+
+    def run(seed):
+        vals = [
+            int.from_bytes(np.random.default_rng(seed + i).bytes(31), "little")
+            % BN254_FR
+            for i in range(B)
+        ]
+        return bk.hash_batch(vals, device=True, write_tables=False)
+
+    t0 = time.perf_counter()
+    ctx, _ = run(0)
+    warm = time.perf_counter() - t0
+    rows = sum(ctx.offsets())
+    print(f"# keccak warmup build: {warm:.1f}s, {rows} rows", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(1000 * (i + 1))
+    dt = time.perf_counter() - t0
+    hps = B * iters / dt
+    rps = rows * iters / dt
+    print(
+        f"# keccak witness gen: {hps:.1f} hashes/s, {rps/1e6:.1f}M rows/s; "
+        f"B={B} iters={iters} rows/build={rows} (serving mode; verified "
+        f"end-to-end by tests/test_keccak_batch.py)",
+        file=sys.stderr,
+    )
+    return hps, rps, rows
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -205,6 +245,19 @@ def main():
             })
         except Exception as e:  # pragma: no cover
             print(f"# msm bench failed: {e!r}", file=sys.stderr)
+    if not os.environ.get("BENCH_SKIP_KECCAK"):
+        try:
+            kB = int(os.environ.get("BENCH_KECCAK_BATCH", 128))
+            k_iters = int(os.environ.get("BENCH_KECCAK_ITERS", 2))
+            hps, krps, krows = bench_keccak(kB, k_iters)
+            result.update({
+                "keccak_hashes_per_sec": round(hps, 1),
+                "keccak_batch": kB,
+                "keccak_rows_per_build": krows,
+                "keccak_rows_per_sec": round(krps, 1),
+            })
+        except Exception as e:  # pragma: no cover
+            print(f"# keccak bench failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))
 
 

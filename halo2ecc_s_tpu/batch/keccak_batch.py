@@ -169,9 +169,18 @@ class BatchKeccak:
         inputs: List[int],
         ctx: Optional[Context] = None,
         device: bool = False,
+        write_tables: bool = True,
     ) -> Tuple[Context, List[AssignedValue]]:
-        """Hash B single-scalar messages; returns (ctx, per-lane results)."""
+        """Hash B single-scalar messages; returns (ctx, per-lane results).
+
+        write_tables=False (device only): serving mode — advice slabs stay
+        device-resident and host Records (masks/fixed too — static layout a
+        server caches once) are never materialised; results and safety flags
+        are still fetched and checked."""
         ctx = ctx or Context()
+        if not write_tables:
+            assert device, "write_tables=False requires device=True"
+            ctx.serving_mode = True
         for v in inputs:
             # scalars are field elements: an out-of-field input would be
             # silently reduced by assignment while the oracle hashes the raw
@@ -262,7 +271,7 @@ class BatchKeccak:
         )
 
         if device:
-            finalize_deferred(deferred)
+            finalize_deferred(deferred, write=write_tables)
         vals, (reg, col, rows) = out_leaf
         vals = np.asarray(vals)
         results = [

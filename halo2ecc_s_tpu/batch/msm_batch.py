@@ -782,6 +782,12 @@ class BatchMsm:
 
         ecc = self._make_ecc(rng=rng)
         ctx = ecc.ctx
+        if device and not getattr(self, "_write_tables", True):
+            # serving mode: host Records (masks/fixed/advice) are never
+            # materialised — layout is static per shape and a server caches
+            # it from one write_tables=True build; the per-build work is the
+            # device value/slab pipeline + cursor bookkeeping only
+            ctx.serving_mode = True
         nl = self._nl  # base-field limb count (3 bn254 / 4 bls12-381)
         n = ctx.n
         deferred = [] if device else None
@@ -1102,7 +1108,7 @@ class BatchMsm:
             or _jax.devices()[0].platform not in ("tpu",)
         )
         scan4 = None
-        if (device and mesh is None and self.with_select and _p4_ok
+        if (device and mesh is None and _p4_ok
                 and not os.environ.get("HALO2ECC_TPU_NO_SCAN")):
             scan4 = self._plan_chain_scan(
                 lambda t: ("win", t[0], t[1]), acc_times, ngp
@@ -1144,13 +1150,33 @@ class BatchMsm:
                     return ins
 
                 def step_arows4(j, l):
-                    return {
+                    out = {
                         f"bit{i}": (
                             _reg0, _col0,
                             rws_stack[w_idx, base_pts + j * group_size + i],
                         )
                         for i in range(group_size)
                     }
+                    if not sel:
+                        # bisec variant: candidate cells are assigned inputs
+                        # (no select-chip binding); n_inst == 1 here (guarded
+                        # in _attempt) so step j's candidates sit at one row
+                        # shared by every window lane
+                        for k in range(K):
+                            r = cand_rows[k]
+                            for coord in ("x", "y"):
+                                for jj in range(nl):
+                                    reg, col, rws = r[f"{coord}l{jj}"]
+                                    out[_cand_in_name(False, k, coord, jj)] = (
+                                        reg, col,
+                                        np.full(n_lanes, rws[j], dtype=np.int64),
+                                    )
+                                reg, col, rws = r[f"{coord}n"]
+                                out[_cand_in_name(False, k, coord, None)] = (
+                                    reg, col,
+                                    np.full(n_lanes, rws[j], dtype=np.int64),
+                                )
+                    return out
 
                 def patch4(tmpl, l, sel_starts, lane_steps):
                     # lane_steps holds the chunk step index repeated per
@@ -1537,6 +1563,8 @@ class BatchMsm:
         enc_rows = self._encode_patch_rows(tmpl)
         if stride == 0 or enc_rows.size == 0:
             return
+        if getattr(ctx, "serving_mode", False):
+            return  # fixed encode columns are static layout; not materialised
         probe = tmpl.ctx.records.select
         g0, sc0 = tmpl._g0sc
         v_probe = probe.fix_vals[enc_rows, SELECT_FIX_ENCODE]  # [R, 4]
@@ -1560,6 +1588,8 @@ class BatchMsm:
         enc_rows = self._encode_patch_rows(tmpl)
         if stride == 0 or enc_rows.size == 0:
             return
+        if getattr(ctx, "serving_mode", False):
+            return  # fixed encode columns are static layout; not materialised
         delta_gs = np.asarray(delta_gs, dtype=np.int64)
         assert np.all(delta_gs >= 0), "encode deltas must be non-negative"
         if not delta_gs.any():
@@ -1581,6 +1611,8 @@ class BatchMsm:
         enc_rows = self._encode_patch_rows(tmpl)
         if stride == 0 or enc_rows.size == 0:
             return
+        if getattr(ctx, "serving_mode", False):
+            return  # fixed encode columns are static layout; not materialised
         delta_g = (group_prefix + gi) - tmpl._g0
         if delta_g == 0:
             return

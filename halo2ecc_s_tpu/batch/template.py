@@ -227,8 +227,11 @@ class Template:
     # -- fully device-resident emission (no host transfer) --
 
     def _region_const_info(self):
-        """Per-region (stride, n_adv, constant-pattern u32[...,16], captures)
-        derived from the probe trace; cached."""
+        """Per-region (stride, n_adv, constant-pattern u32[..., 8] packed
+        16-bit limb pairs, captures) derived from the probe trace; cached.
+        Tables are assembled directly in the packed form the Records' u64x4
+        layout consumes — half the HBM traffic of a 16-limb table plus a
+        repack pass."""
         if getattr(self, "_rinfo", None) is None:
             probe = self.ctx.records
             strides = self.strides
@@ -238,16 +241,21 @@ class Template:
                 if stride == 0:
                     region_info.append(None)
                     continue
-                const = np.zeros((stride, ptbl.n_adv, 16), dtype=np.uint32)
+                const = np.zeros((stride, ptbl.n_adv, 8), dtype=np.uint32)
                 u64 = ptbl.adv_vals[:stride]
-                for j in range(4):
-                    for k in range(4):
-                        const[..., 4 * j + k] = (
-                            (u64[..., j] >> np.uint64(16 * k)) & np.uint64(0xFFFF)
-                        ).astype(np.uint32)
+                for m in range(8):
+                    const[..., m] = (
+                        (u64[..., m // 2] >> np.uint64(32 * (m % 2)))
+                        & np.uint64(0xFFFFFFFF)
+                    ).astype(np.uint32)
                 region_info.append((stride, ptbl.n_adv, const, list(ptbl.captures)))
             self._rinfo = region_info
         return self._rinfo
+
+    @staticmethod
+    def _pack_pairs16(v):
+        """u32[..., 16] 16-bit limbs -> u32[..., 8] packed limb pairs."""
+        return v[..., 0::2] | (v[..., 1::2] << 16)
 
     def slab_value_emitter(self):
         """Jitted fn(inputs) -> (slabs, outvals, flags) computing, fully on
@@ -362,19 +370,19 @@ class Template:
                 if info is None:
                     continue
                 stride, n_adv, const, captures = info
-                tbl = jnp.broadcast_to(jnp.asarray(const), (B, stride, n_adv, 16))
+                # tables are assembled packed (u32 limb pairs): half the
+                # HBM traffic, and _write_slab consumes this form directly
+                tbl = jnp.broadcast_to(jnp.asarray(const), (B, stride, n_adv, 8))
                 if cap_scalar[ridx] is not None:
                     rows, cols, nids = cap_scalar[ridx]
                     stacked = jnp.stack([pad16(take(nid)) for nid in nids], axis=1)
-                    tbl = tbl.at[:, rows, cols, :].set(stacked)
+                    tbl = tbl.at[:, rows, cols, :].set(self._pack_pairs16(stacked))
                 if cap_vec[ridx] is not None:
                     for L, (rows, cols, idxs) in cap_vec[ridx].items():
                         tbl = tbl.at[:, rows, cols, :].set(
-                            pad16(bufs[L][:, idxs])
+                            self._pack_pairs16(pad16(bufs[L][:, idxs]))
                         )
-                # pack 16-bit limb pairs into u32 words: halves the HBM
-                # footprint of resident slabs and the drain transfer
-                slabs[ridx] = tbl[..., 0::2] | (tbl[..., 1::2] << 16)
+                slabs[ridx] = tbl
             outvals = {nid: pad16(take(nid)) for nid in out_nids}
             for i, group in enumerate(vec_groups):
                 # stacked leaf group: one gather when all leaves share a
@@ -414,8 +422,9 @@ class Template:
         return self._dev_emit_raw
 
     def device_emitter(self):
-        """Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 16]}
-        materialising each instance's advice slab in device memory. Constant
+        """Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 8]}
+        materialising each instance's advice slab in device memory as packed
+        16-bit limb pairs (the Records u64x4 layout's word halves). Constant
         advice cells come from the probe pattern; fixed columns are identical
         for every instance (static circuit data) and stay host-side.
 
@@ -469,7 +478,7 @@ class Template:
                     continue
                 stride, n_adv, const, captures = info
                 tbl = jnp.broadcast_to(
-                    jnp.asarray(const), (B, stride, n_adv, 16)
+                    jnp.asarray(const), (B, stride, n_adv, 8)
                 )
                 if captures:
                     s_caps = [(r, c, n) for (r, c, n) in captures if n not in eslot]
@@ -479,7 +488,9 @@ class Template:
                         stacked = jnp.stack(
                             [pad16(take(nid)) for (_, _, nid) in s_caps], axis=1
                         )
-                        tbl = tbl.at[:, rows, cols, :].set(stacked)
+                        tbl = tbl.at[:, rows, cols, :].set(
+                            self._pack_pairs16(stacked)
+                        )
                     byw: Dict[int, list] = {}
                     for (r, c, n) in captures:
                         if n in eslot:
@@ -490,7 +501,9 @@ class Template:
                         rows = np.array([r for (r, _, _) in entries], dtype=np.int32)
                         cols = np.array([c for (_, c, _) in entries], dtype=np.int32)
                         idxs = np.array([i for (_, _, i) in entries], dtype=np.int32)
-                        tbl = tbl.at[:, rows, cols, :].set(pad16(bufs[L][:, idxs]))
+                        tbl = tbl.at[:, rows, cols, :].set(
+                            self._pack_pairs16(pad16(bufs[L][:, idxs]))
+                        )
                 tables[ridx] = tbl
             return tables
 
@@ -563,24 +576,33 @@ class Template:
 
         # 1. bulk-copy the probe pattern (fixed + masks; constant advice too
         # on the host path — in deferred mode the device slab carries all
-        # advice values, so only the presence masks are tiled here)
-        for ridx, (tbl, ptbl) in enumerate(
-            [(rec.base, probe.base), (rec.range, probe.range), (rec.select, probe.select)]
-        ):
-            stride = strides[ridx]
-            if stride == 0:
-                continue
-            end = int(slab0[ridx].max()) + stride
-            tbl.ensure(end)
-            tbl.bump_height(end)
-            rows = (
-                slab0[ridx][:, None] + np.arange(stride, dtype=np.int64)[None, :]
-            ).reshape(-1)
-            if deferred is None:
-                tbl.adv_vals[rows] = np.tile(ptbl.adv_vals[:stride], (B, 1, 1))
-            tbl.adv_set[rows] = np.tile(ptbl.adv_set[:stride], (B, 1))
-            tbl.fix_vals[rows] = np.tile(ptbl.fix_vals[:stride], (B, 1, 1))
-            tbl.fix_set[rows] = np.tile(ptbl.fix_set[:stride], (B, 1))
+        # advice values, so only the presence masks are tiled here).
+        # serving_mode (set by engines when write_tables=False): host Records
+        # are never materialised at all — masks/fixed columns are static
+        # layout data a production server caches from one write_tables=True
+        # build, so per-build tiling is pure overhead; only cursor
+        # bookkeeping (above) and the device pipeline run.
+        serving = getattr(ctx, "serving_mode", False)
+        if serving:
+            assert deferred is not None, "serving_mode requires the device path"
+        else:
+            for ridx, (tbl, ptbl) in enumerate(
+                [(rec.base, probe.base), (rec.range, probe.range), (rec.select, probe.select)]
+            ):
+                stride = strides[ridx]
+                if stride == 0:
+                    continue
+                end = int(slab0[ridx].max()) + stride
+                tbl.ensure(end)
+                tbl.bump_height(end)
+                rows = (
+                    slab0[ridx][:, None] + np.arange(stride, dtype=np.int64)[None, :]
+                ).reshape(-1)
+                if deferred is None:
+                    tbl.adv_vals[rows] = np.tile(ptbl.adv_vals[:stride], (B, 1, 1))
+                tbl.adv_set[rows] = np.tile(ptbl.adv_set[:stride], (B, 1))
+                tbl.fix_vals[rows] = np.tile(ptbl.fix_vals[:stride], (B, 1, 1))
+                tbl.fix_set[rows] = np.tile(ptbl.fix_set[:stride], (B, 1))
 
         if deferred is not None:
             # -- device-resident path: queue slabs, chain device outputs --

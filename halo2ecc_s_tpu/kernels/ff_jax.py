@@ -1,10 +1,12 @@
 """Batched exact finite-field arithmetic for TPU (JAX/XLA).
 
 Values are little-endian 16-bit limbs held in uint32 lanes, so every
-elementwise product fits a u32 and convolution partial sums stay < 2^21 —
-no 64-bit integers required (TPUs have no native u64 multiply). Reduction is
-classical Barrett (HAC 14.42) with static limb counts, giving exact modmul
-and exact div_rem (quotient+remainder) for witness hints.
+elementwise product fits a u32 and shifted-sum partial accumulators stay
+< 2^22 — no 64-bit integers required (TPUs have no native u64 multiply).
+Carry/borrow propagation is log-depth carry-lookahead (associative_scan),
+multiplication a shifted multiply-add sweep. Reduction is classical Barrett
+(HAC 14.42) with static limb counts, giving exact modmul and exact div_rem
+(quotient+remainder) for witness hints.
 
 This is the device path for what the reference computes with host bigints
 (num_bigint in integer_chip.rs: d/rem of int_mul, carries, inverses): the
@@ -75,63 +77,105 @@ def limbs16_to_u64x4(arr: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _shift_up_one(c):
+    """[..., L] -> [..., L] with entries moved one limb up, 0 in front."""
+    return jnp.concatenate(
+        [jnp.zeros(c.shape[:-1] + (1,), jnp.uint32), c[..., :-1]], axis=-1
+    )
+
+
+def _lookahead_carries(g, p):
+    """Kogge-Stone inclusive scan of the carry generate/propagate monoid
+    combine((g1,p1),(g2,p2)) = (g2 | p2&g1, p1&p2) along the limb axis
+    (identity (0, 1), shifted in at the low end). Returns G with G[..., i] =
+    carry OUT of the prefix 0..i. log2(L) rounds of cheap masked shifts —
+    compile-light, unlike lax.associative_scan's slice/interleave form."""
+    L = g.shape[-1]
+    d = 1
+    while d < L:
+        gs = jnp.concatenate(
+            [jnp.zeros(g.shape[:-1] + (d,), g.dtype), g[..., :-d]], axis=-1
+        )
+        ps = jnp.concatenate(
+            [jnp.ones(p.shape[:-1] + (d,), p.dtype), p[..., :-d]], axis=-1
+        )
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    return g
+
+
 def carry_norm(x, out_len: int):
     """Propagate carries: x entries < 2^32 with true value sum(x_i b^i);
-    returns canonical 16-bit limbs, truncated/padded to out_len.
+    returns canonical 16-bit limbs mod b^out_len (truncated/padded).
 
-    Implemented as a lax.scan over the limb axis — keeps the XLA graph tiny
-    (unrolled chains made remote TPU compiles pathologically slow)."""
+    Carry-lookahead form: two local split-and-shift passes reduce every limb
+    sum to <= 2^16 (single-bit carries), then the generate/propagate
+    recurrence runs as a log-depth Kogge-Stone sweep over the limb axis.
+    Replaces the original 16-bit-per-step lax.scan ripple (out_len sequential
+    VPU steps) — which dominated the witness-evaluator profile since every
+    add/mul node ends in a carry_norm."""
     K = x.shape[-1]
     if out_len > K:
         x = jnp.concatenate(
             [x, jnp.zeros(x.shape[:-1] + (out_len - K,), jnp.uint32)], axis=-1
         )
-    xT = jnp.moveaxis(x[..., :out_len], -1, 0)  # [out_len, *batch]
-
-    def step(c, xi):
-        t = xi + c
-        return t >> LIMB_BITS, t & LIMB_MASK
-
-    _, outs = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.uint32), xT)
-    return jnp.moveaxis(outs, 0, -1)
+    x = x[..., :out_len]
+    # pass 1: x_i < 2^32 -> s_i = lo_i + c_{i-1} <= 2^17 - 2
+    s = (x & LIMB_MASK) + _shift_up_one(x >> LIMB_BITS)
+    # pass 2: -> s_i <= 2^16 (carry digits now 0/1)
+    s = (s & LIMB_MASK) + _shift_up_one(s >> LIMB_BITS)
+    # carry-out of limb i given carry-in cin is g_i | (p_i & cin)
+    g = (s >> LIMB_BITS).astype(jnp.uint32)  # 0/1 (s_i == 2^16 only when p=0)
+    p = ((s & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+    G = _lookahead_carries(g, p)
+    cin = _shift_up_one(G)  # carry into limb i = aggregate carry-out of 0..i-1
+    return (s + cin) & LIMB_MASK
 
 
 from functools import lru_cache as _lru_cache
 
 
-@_lru_cache(maxsize=None)
-def _conv_tensor_np(La: int, Lb: int, out_len: int, offset: int):
-    """Static 0/1 tensor T[i, j, k] = 1 iff i + j + offset == k.
-
-    Cached as numpy — converting inside the cache would leak tracers when
-    first touched under jit."""
-    t = np.zeros((La, Lb, out_len), dtype=np.uint32)
-    for i in range(La):
-        for j in range(Lb):
-            k = i + j + offset
-            if k < out_len:
-                t[i, j, k] = 1
-    return t.reshape(La * Lb, out_len)
-
-
-def _conv_tensor(La: int, Lb: int, out_len: int, offset: int):
-    return jnp.asarray(_conv_tensor_np(La, Lb, out_len, offset))
+def _diag_sum(m, out_len: int):
+    """Anti-diagonal sums of m[..., R, C]: out[..., k] = sum_{i+j==k} m[..., i, j],
+    truncated to out_len entries. The skew is a single zero-pad + contiguous
+    reshape (pad each row with R trailing zeros, then reinterpret the flat
+    buffer with row width C+R-1 — entry (i, j) lands at column i+j), so the
+    whole reduction is pad/reshape/slice/sum: ~4 cheap XLA ops, no matmul,
+    no per-offset graph blowup."""
+    R, C = m.shape[-2], m.shape[-1]
+    batch = m.shape[:-2]
+    y = jnp.concatenate([m, jnp.zeros(batch + (R, R), m.dtype)], axis=-1)
+    flat = y.reshape(batch + (R * (C + R),))
+    z = flat[..., : R * (C + R - 1)].reshape(batch + (R, C + R - 1))
+    out = z[..., :out_len].sum(axis=-2, dtype=m.dtype)
+    if out_len > C + R - 1:  # product is narrower than the requested window
+        out = jnp.concatenate(
+            [out, jnp.zeros(batch + (out_len - (C + R - 1),), m.dtype)], axis=-1
+        )
+    return out
 
 
 def mul_limbs(a, b, out_len: int | None = None):
-    """Exact product of limb vectors. The convolution is one integer einsum
-    against a static 0/1 tensor (split lo/hi so partial sums stay < 2^21)."""
+    """Exact product of limb vectors: one batched outer product (16-bit limb
+    products are exact in u32), split lo/hi so anti-diagonal partial sums
+    stay < 2^21 (< 2^22 up to 32 limbs) — safe in u32 — then two skew-reshape
+    diagonal reductions (_diag_sum) and a carry-lookahead normalisation.
+    Exactly La*Lb lane-MACs per instance; the former 0/1-tensor einsum form
+    padded the contraction to La*Lb x out_len (~an order of magnitude more
+    VPU work)."""
     La, Lb = a.shape[-1], b.shape[-1]
     full = La + Lb
     out_len = full if out_len is None else out_len
     prod = a[..., :, None] * b[..., None, :]  # [*, La, Lb] u32 (exact)
-    lo = (prod & LIMB_MASK).reshape(prod.shape[:-2] + (La * Lb,))
-    hi = (prod >> LIMB_BITS).reshape(prod.shape[:-2] + (La * Lb,))
-    t_lo = _conv_tensor(La, Lb, out_len, 0)
-    t_hi = _conv_tensor(La, Lb, out_len, 1)
-    acc = jnp.matmul(lo, t_lo, preferred_element_type=jnp.uint32)
-    acc = acc + jnp.matmul(hi, t_hi, preferred_element_type=jnp.uint32)
-    # each matmul partial sum < 2^21; their sum < 2^22 — safe in u32
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    acc = _diag_sum(lo, out_len)
+    if out_len > 1:  # hi parts land one limb higher
+        h = _diag_sum(hi, out_len - 1)
+        acc = acc + jnp.concatenate(
+            [jnp.zeros(h.shape[:-1] + (1,), jnp.uint32), h], axis=-1
+        )
     return carry_norm(acc, out_len)
 
 
@@ -154,18 +198,21 @@ def sub_limbs(a, b):
         b = jnp.concatenate(
             [b, jnp.zeros(b.shape[:-1] + (La - Lb,), jnp.uint32)], axis=-1
         )
-    aT = jnp.moveaxis(a, -1, 0)
-    bT = jnp.moveaxis(b[..., :La], -1, 0)
+    b = b[..., :La]
+    # borrow-lookahead (mirror of carry_norm): limb i generates a borrow iff
+    # a_i < b_i and propagates one iff a_i == b_i; log-depth associative scan
+    g = (a < b).astype(jnp.uint32)
+    p = a == b
 
-    def step(borrow, ab):
-        ai, bi = ab
-        t = ai + (1 << LIMB_BITS) - bi - borrow
-        return 1 - (t >> LIMB_BITS), t & LIMB_MASK
+    def combine(left, right):
+        g1, p1 = left
+        g2, p2 = right
+        return g2 | (jnp.where(p2, g1, jnp.uint32(0))), p1 & p2
 
-    borrow, outs = jax.lax.scan(
-        step, jnp.zeros(a.shape[:-1], jnp.uint32), (aT, bT)
-    )
-    return jnp.moveaxis(outs, 0, -1), borrow
+    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    bin_ = _shift_up_one(G)
+    outs = (a + (1 << LIMB_BITS) - b - bin_) & LIMB_MASK
+    return outs, G[..., -1]
 
 
 def geq_limbs(a, b):
@@ -187,6 +234,62 @@ def mod_floor_limbs(x, k: int):
 
 
 # ---------------------------------------------------------------------------
+# MXU path for constant-operand multiplication (Barrett mu/p/w products)
+#
+# 8-bit limbs ride the MXU as bf16: 0..255 is exact in bf16 (8 significand
+# bits), 8x8-bit products are exact in the MXU's f32 accumulator, and
+# anti-diagonal sums of <= 128 such products stay < 2^24 — so one bf16
+# matmul against a static Toeplitz matrix of the constant computes the limb
+# convolution exactly on the systolic array instead of the VPU. Gated by
+# HALO2ECC_TPU_MXU_CONSTMUL (bit-exact either way; flip after measuring).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+def _mxu_constmul_enabled() -> bool:
+    return bool(_os.environ.get("HALO2ECC_TPU_MXU_CONSTMUL"))
+
+
+@_lru_cache(maxsize=None)
+def _toeplitz8_np(b_int: int, Lb16: int, La8: int, K: int):
+    """Static Toeplitz T[i, k] = b8[k - i] (0 outside), b in 8-bit limbs."""
+    Lb8 = 2 * Lb16
+    b8 = [(b_int >> (8 * j)) & 0xFF for j in range(Lb8)]
+    T = np.zeros((La8, K), dtype=np.float32)
+    for i in range(La8):
+        for k in range(max(0, i), min(K, i + Lb8)):
+            T[i, k] = b8[k - i]
+    return T
+
+
+def mul_limbs_static(a, b_int: int, Lb16: int, out_len: int | None = None):
+    """Exact a * b for a STATIC integer b (Lb16 = b's 16-bit limb count),
+    as one bf16 matmul on the MXU. Bit-exact with
+    mul_limbs(a, int_to_limbs(b, Lb16))."""
+    La = a.shape[-1]
+    full = La + Lb16
+    out_len = full if out_len is None else out_len
+    La8 = 2 * La
+    K = min(2 * out_len, La8 + 2 * Lb16 - 1)
+    assert min(La8, 2 * Lb16) * 65025 < (1 << 24), "MXU f32 sums must stay exact"
+    # interleave 8-bit halves: a8[2i] = lo(a_i), a8[2i+1] = hi(a_i)
+    a8 = jnp.stack([a & 0xFF, a >> 8], axis=-1).reshape(a.shape[:-1] + (La8,))
+    T = jnp.asarray(_toeplitz8_np(b_int, Lb16, La8, K), dtype=jnp.bfloat16)
+    c8 = jnp.matmul(
+        a8.astype(jnp.bfloat16), T, preferred_element_type=jnp.float32
+    ).astype(jnp.uint32)  # entries < 2^24, exact
+    if K < 2 * out_len:
+        c8 = jnp.concatenate(
+            [c8, jnp.zeros(c8.shape[:-1] + (2 * out_len - K,), jnp.uint32)],
+            axis=-1,
+        )
+    # back to the 16-bit limb domain: x16[k] = c8[2k] + (c8[2k+1] << 8) < 2^32
+    x16 = c8[..., 0::2] + (c8[..., 1::2] << 8)
+    return carry_norm(x16, out_len)
+
+
+# ---------------------------------------------------------------------------
 # Field spec + modular ops
 # ---------------------------------------------------------------------------
 
@@ -201,10 +304,13 @@ class FieldSpec:
         return jnp.asarray(int_to_limbs(self.p, self.L))
 
     @property
+    def mu_int(self):
+        # Barrett constant for x < b^(2L): mu = floor(b^(2L) / p)
+        return (1 << (LIMB_BITS * 2 * self.L)) // self.p
+
+    @property
     def mu_limbs(self):
-        # Barrett constant for x < b^(2L): mu = floor(b^(2L) / p), L+1 limbs
-        mu = (1 << (LIMB_BITS * 2 * self.L)) // self.p
-        return jnp.asarray(int_to_limbs(mu, self.L + 2))
+        return jnp.asarray(int_to_limbs(self.mu_int, self.L + 2))
 
 
 def make_field(p: int) -> FieldSpec:
@@ -234,10 +340,16 @@ def barrett_reduce(f: FieldSpec, x):
     """x: up to 2L limbs, value < b^(2L); returns x mod p (L limbs)."""
     L = f.L
     q1 = shift_right_limbs(x, L - 1)  # <= L+1 limbs
-    q2 = mul_limbs(q1, f.mu_limbs)
+    if _mxu_constmul_enabled():
+        q2 = mul_limbs_static(q1, f.mu_int, L + 2)
+    else:
+        q2 = mul_limbs(q1, f.mu_limbs)
     q3 = shift_right_limbs(q2, L + 1)
     r1 = mod_floor_limbs(x, L + 1)
-    q3p = mul_limbs(q3, f.p_limbs, L + 1)
+    if _mxu_constmul_enabled():
+        q3p = mul_limbs_static(q3, f.p, L, L + 1)
+    else:
+        q3p = mul_limbs(q3, f.p_limbs, L + 1)
     r, _ = sub_limbs(r1, q3p)  # r < 3p, fits L+1 limbs (mod b^(L+1))
     for _ in range(2):
         d, borrow = sub_limbs(r, f.p_limbs)
@@ -288,9 +400,14 @@ class DivSpec:
         return jnp.asarray(int_to_limbs(self.w, n_limbs_for(self.w)))
 
     @property
+    def mu_int(self):
+        return (1 << (LIMB_BITS * self.x_limbs)) // self.w
+
+    @property
     def mu(self):
-        mu = (1 << (LIMB_BITS * self.x_limbs)) // self.w
-        return jnp.asarray(int_to_limbs(mu, self.x_limbs - n_limbs_for(self.w) + 2))
+        return jnp.asarray(
+            int_to_limbs(self.mu_int, self.x_limbs - n_limbs_for(self.w) + 2)
+        )
 
 
 def div_rem_by(spec: DivSpec, x):
@@ -303,9 +420,14 @@ def div_rem_by(spec: DivSpec, x):
     """
     k = n_limbs_for(spec.w)
     q1 = shift_right_limbs(x, k - 1)
-    q2 = mul_limbs(q1, spec.mu)
-    q_hat = shift_right_limbs(q2, spec.x_limbs - k + 1)[..., : spec.q_limbs]
-    qw = mul_limbs(q_hat, spec.w_limbs_arr, spec.x_limbs + 1)
+    if _mxu_constmul_enabled():
+        q2 = mul_limbs_static(q1, spec.mu_int, spec.x_limbs - k + 2)
+        q_hat = shift_right_limbs(q2, spec.x_limbs - k + 1)[..., : spec.q_limbs]
+        qw = mul_limbs_static(q_hat, spec.w, k, spec.x_limbs + 1)
+    else:
+        q2 = mul_limbs(q1, spec.mu)
+        q_hat = shift_right_limbs(q2, spec.x_limbs - k + 1)[..., : spec.q_limbs]
+        qw = mul_limbs(q_hat, spec.w_limbs_arr, spec.x_limbs + 1)
     x_ext = jnp.zeros(x.shape[:-1] + (spec.x_limbs + 1,), dtype=jnp.uint32)
     x_ext = x_ext.at[..., : spec.x_limbs].set(x)
     r, _ = sub_limbs(x_ext, qw)  # >= 0 since q_hat <= q

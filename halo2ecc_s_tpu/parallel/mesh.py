@@ -90,7 +90,8 @@ def sharded_template_witness(mesh: Mesh, template, axis: str = "points"):
     HBM shard. Row offsets are static per instance, so no communication at
     all — the pure data-parallel form of the reference's row-slab discipline.
 
-    Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 16]} with
+    Returns a jitted fn(inputs) -> {region: u32[B, stride, n_adv, 8]} (packed
+    16-bit limb pairs) with
     the batch axis sharded over `axis`.
     """
     raw = template.device_emitter_raw()

@@ -36,10 +36,11 @@ def test_device_tables_match_host_records():
 
     for ridx, tbl in ((0, ctx.records.base), (1, ctx.records.range)):
         stride = tmpl.strides[ridx]
-        dev = tables[ridx]  # [B, stride, n_adv, 16] u32
-        assert dev.shape == (B, stride, tbl.n_adv, 16)
+        dev = tables[ridx]  # [B, stride, n_adv, 8] u32 packed limb pairs
+        assert dev.shape == (B, stride, tbl.n_adv, 8)
         host = tbl.adv_vals[: B * stride].reshape(B, stride, tbl.n_adv, 4)
-        dev64 = ff.limbs16_to_u64x4(dev)
+        dev64 = dev.astype(np.uint64)
+        dev64 = dev64[..., 0::2] | (dev64[..., 1::2] << np.uint64(32))
         np.testing.assert_array_equal(dev64, host)
 
 

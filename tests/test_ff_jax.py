@@ -110,3 +110,110 @@ def test_limbs16_to_u64x4():
     for i, v in enumerate(vals):
         got = sum(int(packed[i, w]) << (64 * w) for w in range(4))
         assert got == v
+
+
+def test_carry_borrow_lookahead_ripple_edges():
+    """Adversarial patterns for the log-depth carry/borrow lookahead:
+    full-length carry ripples (0xFFFF chains + 1), generate-at-boundary
+    (limb sum exactly 2^16), and a < b borrows that propagate through
+    equal-limb runs."""
+    import jax
+
+    L = 16
+    M = (1 << 256) - 1
+
+    # carry_norm: raw accumulator entries up to 2^32-1 with long ripples
+    cases = [
+        np.full((L,), 0xFFFF, np.uint32),                      # all-propagate
+        np.array([0x1FFFE] + [0xFFFF] * (L - 1), np.uint32),   # ripple from 0
+        np.array([0xFFFFFFFF] * L, np.uint32),                 # max entries
+        np.array([0x10000] * L, np.uint32),                    # generate-only
+        np.array([0xFFFF, 0x1FFFF] + [0xFFFE] * (L - 2), np.uint32),
+    ]
+    rng = np.random.default_rng(3)
+    cases += list(rng.integers(0, 1 << 32, (32, L), dtype=np.uint64).astype(np.uint32))
+    x = np.stack(cases)
+    for out_len in (L, L + 2, L - 3):
+        got = np.asarray(jax.jit(lambda v: ff.carry_norm(v, out_len))(x))
+        for i in range(x.shape[0]):
+            want = sum(int(x[i, j]) << (16 * j) for j in range(L))
+            want %= 1 << (16 * out_len)
+            assert ff.limbs_to_int(got[i]) == want, (i, out_len)
+
+    # sub_limbs: borrow chains through equal-limb prefixes
+    pairs = [
+        (0, 1),
+        (1 << 255, 1),
+        (M, M),
+        ((1 << 256) - 2, M),                   # a < b, all limbs equal but last
+        (0x10000_0000, 0xFFFF_FFFF),
+    ]
+    pairs += [
+        (
+            int.from_bytes(rng.bytes(32), "little"),
+            int.from_bytes(rng.bytes(32), "little"),
+        )
+        for _ in range(32)
+    ]
+    a = ff.ints_to_limbs([p[0] for p in pairs], L)
+    b = ff.ints_to_limbs([p[1] for p in pairs], L)
+    d, borrow = jax.jit(ff.sub_limbs)(a, b)
+    d, borrow = np.asarray(d), np.asarray(borrow)
+    for i, (av, bv) in enumerate(pairs):
+        want = (av - bv) % (1 << (16 * L))
+        assert ff.limbs_to_int(d[i]) == want, i
+        assert int(borrow[i]) == (1 if av < bv else 0), i
+
+    # mul_limbs: mixed widths incl. asymmetric + truncated out_len
+    for La, Lb, out_len in ((16, 16, 32), (16, 16, 17), (24, 5, 29), (3, 24, 12)):
+        av = [int(v) % (1 << (16 * La)) for v in rng.integers(0, 1 << 63, 8)] + [
+            (1 << (16 * La)) - 1
+        ]
+        bv = [int(v) % (1 << (16 * Lb)) for v in rng.integers(0, 1 << 63, 8)] + [
+            (1 << (16 * Lb)) - 1
+        ]
+        aa = ff.ints_to_limbs(av, La)
+        bb = ff.ints_to_limbs(bv, Lb)
+        got = np.asarray(jax.jit(lambda x, y: ff.mul_limbs(x, y, out_len))(aa, bb))
+        for i in range(len(av)):
+            want = (av[i] * bv[i]) % (1 << (16 * out_len))
+            assert ff.limbs_to_int(got[i]) == want, (La, Lb, out_len, i)
+
+
+def test_mxu_constmul_bit_exact():
+    """HALO2ECC_TPU_MXU_CONSTMUL routes Barrett's constant-operand products
+    (mu, p, w) through one bf16 Toeplitz matmul (8-bit limbs; exact in the
+    f32 accumulator). Must be bit-exact with the VPU limb path for both
+    fields and for div_rem witness hints, incl. boundary values."""
+    import os
+
+    import jax
+
+    for p in (BN254_FQ, BN254_FR, BLS12_381_FQ):
+        f = ff.make_field(p)
+        vals = rand_vals(p, 12) + [0, 1, p - 1, p - 2]
+        a = ff.ints_to_limbs(vals, f.L)
+        b = ff.ints_to_limbs(list(reversed(vals)), f.L)
+        spec = ff.DivSpec(w=p, x_limbs=2 * f.L + 1, q_limbs=f.L + 2)
+        xs = [v1 * v2 + v3 for v1, v2, v3 in zip(vals, reversed(vals), vals)]
+        x = ff.ints_to_limbs(xs, spec.x_limbs)
+
+        def run():
+            mm = jax.jit(lambda u, v: ff.mul_mod(f, u, v))(a, b)
+            q, r = jax.jit(lambda u: ff.div_rem_by(spec, u))(x)
+            return np.asarray(mm), np.asarray(q), np.asarray(r)
+
+        assert "HALO2ECC_TPU_MXU_CONSTMUL" not in os.environ
+        mm0, q0, r0 = run()
+        os.environ["HALO2ECC_TPU_MXU_CONSTMUL"] = "1"
+        try:
+            mm1, q1, r1 = run()
+        finally:
+            del os.environ["HALO2ECC_TPU_MXU_CONSTMUL"]
+        assert np.array_equal(mm0, mm1)
+        assert np.array_equal(q0, q1)
+        assert np.array_equal(r0, r1)
+        for i, v in enumerate(xs):
+            assert ff.limbs_to_int(q1[i]) == v // p
+            assert ff.limbs_to_int(r1[i]) == v % p
+            assert ff.limbs_to_int(mm1[i]) == (vals[i] * list(reversed(vals))[i]) % p

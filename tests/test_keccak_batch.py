@@ -51,3 +51,18 @@ def test_keccak_batch_tamper_detected():
     new = pack_u64x4(2) if not np.array_equal(old, pack_u64x4(2)) else pack_u64x4(3)
     tbl.adv_vals[r, c] = new
     assert verify_context(ctx, k=18) != []
+
+
+def test_keccak_batch_serving_mode_matches_oracle():
+    """Serving mode (device=True, write_tables=False): results still match
+    the host oracle and divergence flags are still checked; host Records are
+    never materialised."""
+    from halo2ecc_s_tpu.core.context import Context
+
+    scalars = [3, (1 << 200) + 17, BN254_FR - 1]
+    bk = BatchKeccak()
+    ctx, out = bk.hash_batch(scalars, device=True, write_tables=False)
+    for s, v in zip(scalars, out):
+        assert v.val == keccak256_of_scalars([s], BN254_FR)
+    ref_ctx, _ = bk.hash_batch(scalars[:1], Context(), device=False)
+    assert ctx.records.base.adv_vals.shape[0] < ref_ctx.records.base.adv_vals.shape[0]

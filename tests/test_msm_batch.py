@@ -111,6 +111,63 @@ def test_msm_batch_no_select_chip():
     run_circuit(ecc.ctx, 22)
 
 
+def test_msm_batch_no_select_device_bit_exact():
+    """Group-2 engine (bisec candidates) through the device-resident
+    pipeline: Records must be bit-exact with the host build and verify."""
+    import numpy as np
+
+    points, scalars, expect = random_msm_instance(5, seed=21)
+    bm = BatchMsm(with_select_chip=False)
+    ecc_h, res_h = bm.build(points, scalars, seed=63)
+    ecc_d, res_d = bm.build(points, scalars, seed=63, device=True)
+
+    for th, td in (
+        (ecc_h.ctx.records.base, ecc_d.ctx.records.base),
+        (ecc_h.ctx.records.range, ecc_d.ctx.records.range),
+        (ecc_h.ctx.records.select, ecc_d.ctx.records.select),
+    ):
+        assert th.height == td.height
+        h = th.height
+        np.testing.assert_array_equal(th.adv_vals[:h], td.adv_vals[:h])
+        np.testing.assert_array_equal(th.adv_set[:h], td.adv_set[:h])
+        np.testing.assert_array_equal(th.fix_vals[:h], td.fix_vals[:h])
+        np.testing.assert_array_equal(th.fix_set[:h], td.fix_set[:h])
+    assert res_h.x.native.val == res_d.x.native.val
+    assert res_h.y.native.val == res_d.y.native.val
+    ecc_d.ecc_assert_equal(res_d, ecc_d.assign_point(expect))
+    run_circuit(ecc_d.ctx, 22)
+
+
+def test_msm_batch_no_select_chain_scan():
+    """26 points (13 groups, group size 2) engages the phase-4 window-chain
+    scan for the bisec engine on the warm build; Records bit-exact vs the
+    per-step device build. XSLOW."""
+    import os
+
+    if "HALO2ECC_TPU_RUN_XSLOW" not in os.environ:
+        pytest.skip("set HALO2ECC_TPU_RUN_XSLOW=1")
+    import numpy as np
+
+    points, scalars, expect = random_msm_instance(26, seed=17)
+    bm = BatchMsm(with_select_chip=False)
+    ecc_1, res_1 = bm.build(points, scalars, seed=31, device=True)
+    ecc_2, res_2 = bm.build(points, scalars, seed=31, device=True)
+    assert any(k[0] == "p4" for k in bm._scan_jits), "phase-4 scan not engaged"
+    for th, td in (
+        (ecc_1.ctx.records.base, ecc_2.ctx.records.base),
+        (ecc_1.ctx.records.range, ecc_2.ctx.records.range),
+        (ecc_1.ctx.records.select, ecc_2.ctx.records.select),
+    ):
+        assert th.height == td.height
+        h = th.height
+        np.testing.assert_array_equal(th.adv_vals[:h], td.adv_vals[:h])
+        np.testing.assert_array_equal(th.fix_vals[:h], td.fix_vals[:h])
+    assert res_1.x.native.val == res_2.x.native.val
+    assert res_1.y.native.val == res_2.y.native.val
+    ecc_2.ecc_assert_equal(res_2, ecc_2.assign_point(expect))
+    run_circuit(ecc_2.ctx, 23)
+
+
 def test_msm_batch_arbitrary_n():
     """n=7 pads to 10 (generator, scalar-0 pairs); result must match the
     host oracle and verify."""
@@ -220,3 +277,26 @@ def test_msm_batch_10_points():
     ecc, res = bm.build(points, scalars, seed=77)
     ecc.ecc_assert_equal(res, ecc.assign_point(expect))
     run_circuit(ecc.ctx, 22)
+
+
+def test_msm_batch_serving_mode_matches_device_build():
+    """write_tables=False (serving mode): advice slabs stay in HBM and host
+    Records — masks and fixed columns included, which are static layout a
+    server caches from one write_tables=True build — are never materialised.
+    Results, row bookkeeping, and the UnsafeError safety flags must match the
+    table-writing device build exactly."""
+    points, scalars, _ = random_msm_instance(10, seed=21)
+    bm = BatchMsm()
+    ecc_w, res_w = bm.build(points, scalars, seed=77, device=True)
+    ecc_s, res_s = bm.build(
+        points, scalars, seed=77, device=True, write_tables=False
+    )
+    assert (res_s.x.val, res_s.y.val, res_s.z.val) == (
+        res_w.x.val, res_w.y.val, res_w.z.val,
+    )
+    assert ecc_s.ctx.offsets() == ecc_w.ctx.offsets()
+    # tables were skipped: the select region never grew to the full build
+    assert (
+        ecc_s.ctx.records.select.adv_vals.shape[0]
+        < ecc_w.ctx.records.select.adv_vals.shape[0]
+    )
