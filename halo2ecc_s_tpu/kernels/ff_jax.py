@@ -156,26 +156,55 @@ def _diag_sum(m, out_len: int):
     return out
 
 
+@_lru_cache(maxsize=None)
+def _conv_tensor_np(La: int, Lb: int, out_len: int, offset: int):
+    """Static 0/1 tensor T[i*Lb+j, k] = 1 iff i + j + offset == k."""
+    t = np.zeros((La, Lb, out_len), dtype=np.uint32)
+    for i in range(La):
+        for j in range(Lb):
+            k = i + j + offset
+            if k < out_len:
+                t[i, j, k] = 1
+    return t.reshape(La * Lb, out_len)
+
+
+def _backend() -> str:
+    return jax.default_backend()
+
+
 def mul_limbs(a, b, out_len: int | None = None):
     """Exact product of limb vectors: one batched outer product (16-bit limb
-    products are exact in u32), split lo/hi so anti-diagonal partial sums
-    stay < 2^21 (< 2^22 up to 32 limbs) — safe in u32 — then two skew-reshape
-    diagonal reductions (_diag_sum) and a carry-lookahead normalisation.
-    Exactly La*Lb lane-MACs per instance; the former 0/1-tensor einsum form
-    padded the contraction to La*Lb x out_len (~an order of magnitude more
-    VPU work)."""
+    products are exact in u32), split lo/hi so partial diagonal sums stay
+    < 2^21 (< 2^22 up to 32 limbs) — safe in u32 — then a backend-specific
+    anti-diagonal reduction and a carry-lookahead normalisation.
+
+    Backend dispatch (bit-exact either way; measured scripts/kernel_microbench.py):
+    - TPU: contraction against a static 0/1 tensor (one XLA dot) — 3.3x
+      faster than the skew-reshape form, whose pad+flat-reshape forces
+      lane relayouts on the TPU's tiled memory.
+    - CPU: skew-reshape diagonal sums (_diag_sum) — exactly La*Lb lane-MACs
+      and a compile-light graph (the padded contraction is ~10x more VPU
+      work and slowed CPU compiles)."""
     La, Lb = a.shape[-1], b.shape[-1]
     full = La + Lb
     out_len = full if out_len is None else out_len
     prod = a[..., :, None] * b[..., None, :]  # [*, La, Lb] u32 (exact)
-    lo = prod & LIMB_MASK
-    hi = prod >> LIMB_BITS
-    acc = _diag_sum(lo, out_len)
-    if out_len > 1:  # hi parts land one limb higher
-        h = _diag_sum(hi, out_len - 1)
-        acc = acc + jnp.concatenate(
-            [jnp.zeros(h.shape[:-1] + (1,), jnp.uint32), h], axis=-1
-        )
+    if _backend() == "cpu":
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        acc = _diag_sum(lo, out_len)
+        if out_len > 1:  # hi parts land one limb higher
+            h = _diag_sum(hi, out_len - 1)
+            acc = acc + jnp.concatenate(
+                [jnp.zeros(h.shape[:-1] + (1,), jnp.uint32), h], axis=-1
+            )
+    else:
+        lo = (prod & LIMB_MASK).reshape(prod.shape[:-2] + (La * Lb,))
+        hi = (prod >> LIMB_BITS).reshape(prod.shape[:-2] + (La * Lb,))
+        t_lo = jnp.asarray(_conv_tensor_np(La, Lb, out_len, 0))
+        t_hi = jnp.asarray(_conv_tensor_np(La, Lb, out_len, 1))
+        acc = jnp.matmul(lo, t_lo, preferred_element_type=jnp.uint32)
+        acc = acc + jnp.matmul(hi, t_hi, preferred_element_type=jnp.uint32)
     return carry_norm(acc, out_len)
 
 

@@ -1,0 +1,144 @@
+"""Microbenchmark limb-kernel variants on the current backend (run on TPU).
+
+Compares the Kogge-Stone/skew-reshape forms (fb78e95, CPU-compile-friendly)
+against the einsum/scan forms (813964f, the ones the 110M rows/s headline was
+measured with) and the MXU const-mul path, to pick per-backend dispatch.
+
+Usage: python scripts/kernel_microbench.py [B]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+from functools import lru_cache, partial
+
+from halo2ecc_s_tpu.kernels import ff_jax as ff
+from halo2ecc_s_tpu.utils.fields import BN254_FQ
+
+LIMB_BITS = 16
+LIMB_MASK = 0xFFFF
+
+
+# --- old (813964f) forms, inlined ---
+
+def carry_norm_scan(x, out_len: int):
+    K = x.shape[-1]
+    if out_len > K:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (out_len - K,), jnp.uint32)], axis=-1
+        )
+    xT = jnp.moveaxis(x[..., :out_len], -1, 0)
+
+    def step(c, xi):
+        t = xi + c
+        return t >> LIMB_BITS, t & LIMB_MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.uint32), xT)
+    return jnp.moveaxis(outs, 0, -1)
+
+
+@lru_cache(maxsize=None)
+def _conv_tensor_np(La, Lb, out_len, offset):
+    t = np.zeros((La, Lb, out_len), dtype=np.uint32)
+    for i in range(La):
+        for j in range(Lb):
+            k = i + j + offset
+            if k < out_len:
+                t[i, j, k] = 1
+    return t.reshape(La * Lb, out_len)
+
+
+def mul_limbs_einsum(a, b, out_len=None, carry=carry_norm_scan):
+    La, Lb = a.shape[-1], b.shape[-1]
+    out_len = (La + Lb) if out_len is None else out_len
+    prod = a[..., :, None] * b[..., None, :]
+    lo = (prod & LIMB_MASK).reshape(prod.shape[:-2] + (La * Lb,))
+    hi = (prod >> LIMB_BITS).reshape(prod.shape[:-2] + (La * Lb,))
+    t_lo = jnp.asarray(_conv_tensor_np(La, Lb, out_len, 0))
+    t_hi = jnp.asarray(_conv_tensor_np(La, Lb, out_len, 1))
+    acc = jnp.matmul(lo, t_lo, preferred_element_type=jnp.uint32)
+    acc = acc + jnp.matmul(hi, t_hi, preferred_element_type=jnp.uint32)
+    return carry(acc, out_len)
+
+
+def bench(name, fn, args, iters=20):
+    fn = jax.jit(fn)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:50s} {dt*1e3:9.3f} ms")
+    return dt
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
+    print(f"backend={jax.devices()[0].platform} B={B}")
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32))
+    wide = jnp.asarray(
+        rng.integers(0, 1 << 32, (B, 32), dtype=np.int64).astype(np.uint32)
+    )
+    f = ff.make_field(BN254_FQ)
+
+    # sanity: variants agree
+    ref = np.asarray(mul_limbs_einsum(a[:64], b[:64], 32))
+    cur = np.asarray(ff.mul_limbs(a[:64], b[:64], 32))
+    assert (ref == cur).all(), "mul variants disagree!"
+    r1 = np.asarray(carry_norm_scan(wide[:64], 32))
+    r2 = np.asarray(ff.carry_norm(wide[:64], 32))
+    assert (r1 == r2).all(), "carry variants disagree!"
+
+    bench("carry_norm KS (current)", lambda x: ff.carry_norm(x, 32), (wide,))
+    bench("carry_norm scan (old)", lambda x: carry_norm_scan(x, 32), (wide,))
+    bench("mul skew+KS (current)", lambda x, y: ff.mul_limbs(x, y, 32), (a, b))
+    bench("mul einsum+scan (old)", lambda x, y: mul_limbs_einsum(x, y, 32), (a, b))
+    bench("mul einsum+KS", lambda x, y: mul_limbs_einsum(x, y, 32, ff.carry_norm), (a, b))
+
+    def mulmod_cur(x, y):
+        return ff.mul_mod(f, x, y)
+
+    def mulmod_old(x, y):
+        n = x.shape[0]
+        prod = mul_limbs_einsum(x, y, 32)
+        # barrett with old mul/carry
+        q1 = prod[..., f.L - 1:]
+        q2 = mul_limbs_einsum(q1, jnp.broadcast_to(f.mu_limbs, (n, f.L + 2)))
+        q3 = q2[..., f.L + 1:]
+        r1 = prod[..., : f.L + 1]
+        q3p = mul_limbs_einsum(q3, jnp.broadcast_to(f.p_limbs, (n, f.L)), f.L + 1)
+        r, _ = ff.sub_limbs(r1, q3p)
+        for _ in range(2):
+            d, borrow = ff.sub_limbs(r, f.p_limbs)
+            r = ff.select_limbs(borrow == 0, d, r)
+        return r[..., : f.L]
+
+    bench("mul_mod current", mulmod_cur, (a, b))
+    bench("mul_mod old(einsum+scan)", mulmod_old, (a, b))
+
+    os.environ["HALO2ECC_TPU_MXU_CONSTMUL"] = "1"
+    r3 = np.asarray(jax.jit(mulmod_cur)(a[:64], b[:64]))
+    r4 = np.asarray(jax.jit(mulmod_old)(a[:64], b[:64]))
+    assert (r3 == r4).all(), "mxu mulmod disagrees!"
+    bench("mul_mod current + MXU constmul", mulmod_cur, (a, b))
+    del os.environ["HALO2ECC_TPU_MXU_CONSTMUL"]
+
+
+if __name__ == "__main__":
+    main()

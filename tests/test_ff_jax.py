@@ -217,3 +217,26 @@ def test_mxu_constmul_bit_exact():
             assert ff.limbs_to_int(q1[i]) == v // p
             assert ff.limbs_to_int(r1[i]) == v % p
             assert ff.limbs_to_int(mm1[i]) == (vals[i] * list(reversed(vals))[i]) % p
+
+
+def test_mul_limbs_backend_forms_bit_exact(monkeypatch):
+    """mul_limbs dispatches by backend: skew-reshape diagonal sums on CPU,
+    0/1-tensor contraction on TPU (scripts/kernel_microbench.py: the skew
+    form's flat reshapes force lane relayouts on TPU, 3x slower). Both forms
+    must agree bit-exactly, including truncated/extended out_len."""
+    rng = np.random.default_rng(42)
+    for La, Lb, out_len in [(16, 16, 32), (16, 18, 20), (3, 16, 40), (1, 1, 1)]:
+        a_i = [int.from_bytes(rng.bytes(2 * La), "little") % (1 << (16 * La))
+               for _ in range(9)]
+        b_i = [int.from_bytes(rng.bytes(2 * Lb), "little") % (1 << (16 * Lb))
+               for _ in range(9)]
+        a = ff.ints_to_limbs(a_i, La)
+        b = ff.ints_to_limbs(b_i, Lb)
+        monkeypatch.setattr(ff, "_backend", lambda: "cpu")
+        skew = np.asarray(ff.mul_limbs(a, b, out_len))
+        monkeypatch.setattr(ff, "_backend", lambda: "tpu")
+        cont = np.asarray(ff.mul_limbs(a, b, out_len))
+        assert np.array_equal(skew, cont), (La, Lb, out_len)
+        for i in range(9):
+            want = (a_i[i] * b_i[i]) % (1 << (16 * out_len))
+            assert ff.limbs_to_int(skew[i]) == want
