@@ -8,8 +8,18 @@ witness values (limb products, Barrett div_rem hints, carries, range chunks)
 AND materialises the advice-table slabs in HBM — no host round-trip, which is
 where a device-side prover consumes them.
 
-Metric: witness rows/sec, fully device-resident. Integrity: one small batch
-is also emitted through the host path and checked by the constraint verifier.
+Metric: witness rows/sec, fully device-resident. Two measurements:
+  - end-to-end: per-iteration dispatches over the axon tunnel (includes
+    dispatch/link overhead) — the deployment-shape number;
+  - device-only: all iterations folded into ONE compiled `lax.fori_loop`
+    program whose carry is the advice slab (forces HBM materialisation every
+    iteration, defeats DCE/fusion-away), so a single dispatch measures pure
+    device throughput. This is the number a roofline can be computed from
+    (see BASELINE.md "Roofline").
+
+Integrity: one small batch is also emitted through the host path and checked
+by the constraint verifier (BENCH_VERIFY=1; the test suite covers the same
+path on CPU).
 
 vs_baseline: ratio against a MEASURED proxy of the reference's 64-core
 witness-gen throughput. The reference publishes no numbers and Rust is not
@@ -24,7 +34,13 @@ reference, so vs_baseline here is a lower bound on the true speedup.
 Reproduce: g++ -O3 -march=native -o native/build/baseline_proxy
 native/baseline_proxy.cpp -lpthread && native/build/baseline_proxy 100000 4
 
-Prints exactly one JSON line.
+Output contract: the headline JSON line is printed to stdout as soon as the
+headline measurement lands (so a later timeout cannot take the scoreboard
+down with it); the optional MSM/keccak sub-benches then run under an explicit
+wall-clock budget (BENCH_BUDGET seconds, default 360) and, if any of them
+completed, ONE final JSON line with the full result set is printed last.
+Parsers taking the last JSON line get the most complete result; parsers
+taking the first still get the headline.
 """
 
 import json
@@ -39,8 +55,14 @@ import numpy as np
 # measured-proxy 64-core extrapolation (see module docstring / BASELINE.md)
 REFERENCE_ROWS_PER_SEC = 160e6
 
+_T0 = time.perf_counter()
 
-def bench_msm(n_points: int, iters: int, n_inst: int = 1):
+
+def _remaining(deadline):
+    return deadline - time.perf_counter()
+
+
+def bench_msm(n_points: int, iters: int, n_inst: int, deadline: float):
     """Batched MSM witness generation, device-resident pipeline (the
     flagship workload: ecc_chip.rs:223-371). n_inst > 1 witnesses that many
     independent MSMs per pipeline run (proof-batching serving shape): every
@@ -48,7 +70,8 @@ def bench_msm(n_points: int, iters: int, n_inst: int = 1):
     launch costs amortise across instances. End-to-end per build: host
     layout + jitted per-phase value/slab emitters chained on device + one
     fetch into Records + scalar final accumulation. Returns
-    (points_per_sec, rows_per_sec, total_rows)."""
+    (points_per_sec, rows_per_sec, total_rows, iters_run) or None if the
+    wall-clock budget ran out before a timed build completed."""
     from halo2ecc_s_tpu.batch.msm_batch import BatchMsm
     from halo2ecc_s_tpu.models.msm import random_msm_instance
 
@@ -74,33 +97,44 @@ def bench_msm(n_points: int, iters: int, n_inst: int = 1):
     total_rows = sum(ecc.ctx.offsets())
     print(f"# msm warmup build: {warm_secs:.1f}s, {total_rows} rows", file=sys.stderr)
 
+    # budget: a warm build costs <= the warmup build; only run iterations
+    # that fit before the deadline
     t0 = time.perf_counter()
+    done = 0
     for i in range(iters):
+        if done > 0 and _remaining(deadline) < (time.perf_counter() - t0) / done:
+            print(f"# msm budget: stopping after {done}/{iters} iters", file=sys.stderr)
+            break
+        if done == 0 and _remaining(deadline) < warm_secs * 0.5:
+            print("# msm budget: no time for a timed build", file=sys.stderr)
+            return None
         run(i + 2)
+        done += 1
+    if done == 0:
+        return None
     dt = time.perf_counter() - t0
-    pts_per_sec = n_points * n_inst * iters / dt
-    rows_per_sec = total_rows * iters / dt
+    pts_per_sec = n_points * n_inst * done / dt
+    rows_per_sec = total_rows * done / dt
     print(
         f"# msm witness gen: {pts_per_sec:.1f} points/s, "
         f"{rows_per_sec/1e6:.1f}M rows/s; n={n_points} x {n_inst} instances "
-        f"iters={iters} rows/build={total_rows} (advice slabs "
+        f"iters={done} rows/build={total_rows} (advice slabs "
         f"device-resident in HBM; safety flags + chained outputs fetched; "
         f"Records host writes skipped — verified end-to-end by "
         f"tests/test_msm_batch.py)",
         file=sys.stderr,
     )
-    return pts_per_sec, rows_per_sec, total_rows
+    return pts_per_sec, rows_per_sec, total_rows, done
 
 
-def bench_keccak(B: int, iters: int):
+def bench_keccak(B: int, iters: int, deadline: float):
     """Batched keccak256 witness generation (keccak_chip.rs:61-165), serving
     mode: B lanes of decompose/absorb/24 rounds/compose templates chained as
     device tensors, advice slabs resident in HBM (write_tables=False).
-    Returns (hashes_per_sec, rows_per_sec, rows_per_build)."""
+    Returns (hashes_per_sec, rows_per_sec, rows_per_build) or None."""
     from halo2ecc_s_tpu.batch.keccak_batch import BatchKeccak
     from halo2ecc_s_tpu.utils.fields import BN254_FR
 
-    rng = np.random.default_rng(5)
     bk = BatchKeccak()
 
     def run(seed):
@@ -117,15 +151,25 @@ def bench_keccak(B: int, iters: int):
     rows = sum(ctx.offsets())
     print(f"# keccak warmup build: {warm:.1f}s, {rows} rows", file=sys.stderr)
 
+    if _remaining(deadline) < warm * 0.5:
+        print("# keccak budget: no time for a timed build", file=sys.stderr)
+        return None
     t0 = time.perf_counter()
+    done = 0
     for i in range(iters):
+        if done > 0 and _remaining(deadline) < (time.perf_counter() - t0) / done:
+            print(f"# keccak budget: stopping after {done}/{iters} iters", file=sys.stderr)
+            break
         run(1000 * (i + 1))
+        done += 1
+    if done == 0:
+        return None
     dt = time.perf_counter() - t0
-    hps = B * iters / dt
-    rps = rows * iters / dt
+    hps = B * done / dt
+    rps = rows * done / dt
     print(
         f"# keccak witness gen: {hps:.1f} hashes/s, {rps/1e6:.1f}M rows/s; "
-        f"B={B} iters={iters} rows/build={rows} (serving mode; verified "
+        f"B={B} iters={done} rows/build={rows} (serving mode; verified "
         f"end-to-end by tests/test_keccak_batch.py)",
         file=sys.stderr,
     )
@@ -144,13 +188,14 @@ def main():
 
     from halo2ecc_s_tpu.batch.template import Template
     from halo2ecc_s_tpu.core.context import Context
-    from halo2ecc_s_tpu.kernels import ff_jax as ff
     from halo2ecc_s_tpu.ops.integer_ops import IntegerContext
     from halo2ecc_s_tpu.utils.fields import BN254_FQ
     from halo2ecc_s_tpu.verify.mock_prover import run_circuit
 
     B = int(os.environ.get("BENCH_BATCH", 1 << 17))
     iters = int(os.environ.get("BENCH_ITERS", 8))
+    budget = float(os.environ.get("BENCH_BUDGET", 360))
+    deadline = _T0 + budget
 
     # NOTE: HALO2ECC_TPU_PALLAS_FUSE (the mod(mul) peephole) does not engage
     # on this template — its mod sites are add-fed — so it is NOT enabled
@@ -168,15 +213,17 @@ def main():
     )
     rows_per_instance = sum(tmpl.strides)
     emit = tmpl.device_emitter()
+    emit_raw = tmpl.device_emitter_raw()
 
-    @jax.jit
-    def gen_inputs(key):
+    def gen_inputs_raw(key):
         ka, kb = jax.random.split(key)
         a = jax.random.bits(ka, (B, 16), jnp.uint32) & 0xFFFF
         b = jax.random.bits(kb, (B, 16), jnp.uint32) & 0xFFFF
         a = a.at[:, -1].set(a[:, -1] & 0x1FFF)  # < 2^253 < w: canonical
         b = b.at[:, -1].set(b[:, -1] & 0x1FFF)
         return a, b
+
+    gen_inputs = jax.jit(gen_inputs_raw)
 
     # integrity: small batch through the host path + constraint verifier
     # (opt-in: it compiles a second evaluator shape, which is slow over the
@@ -200,7 +247,8 @@ def main():
 
     # best-of-repeats: the TPU is attached over a remote tunnel whose
     # congestion varies run to run (observed >10x swings on identical
-    # programs); the max over repeats measures the program, not the link
+    # programs); the minimum time (maximum throughput) over repeats measures
+    # the program, not the link
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     best_dt = float("inf")
     for r in range(repeats):
@@ -219,6 +267,49 @@ def main():
 
     total_rows = iters * B * rows_per_instance
     rows_per_sec = total_rows / best_dt
+
+    # ---- device-only: fold all iterations into ONE compiled program whose
+    # carry is the advice-slab dict, so every iteration's slabs must be
+    # materialised in HBM (loop-carried outputs cannot be DCE'd or fused
+    # away) and a single dispatch measures pure device time.
+    dev_iters = int(os.environ.get("BENCH_DEVICE_ITERS", iters))
+
+    def fold_step(i, carry):
+        k, _tables = carry
+        k, sub = jax.random.split(k)
+        fa, fb = gen_inputs_raw(sub)
+        return k, emit_raw({"a": fa, "b": fb})
+
+    @jax.jit
+    def device_loop(k):
+        k, sub = jax.random.split(k)
+        fa, fb = gen_inputs_raw(sub)
+        init_tables = emit_raw({"a": fa, "b": fb})
+        k, out = jax.lax.fori_loop(0, dev_iters - 1, fold_step, (k, init_tables))
+        return out
+
+    dev_rows_per_sec = None
+    try:
+        out = device_loop(jax.random.PRNGKey(1))
+        _ = np.asarray(next(iter(out.values()))[0, 0, 0, 0])  # compile+warm
+        best_dev = float("inf")
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            out = device_loop(jax.random.PRNGKey(2 + r))
+            _ = np.asarray(next(iter(out.values()))[0, 0, 0, 0])
+            dt = time.perf_counter() - t0
+            print(f"# device-only repeat {r}: {dt:.3f}s", file=sys.stderr)
+            best_dev = min(best_dev, dt)
+        # the single dispatch still pays one tunnel round-trip; with
+        # dev_iters iterations inside, the per-iteration share is 1/dev_iters
+        dev_rows_per_sec = dev_iters * B * rows_per_instance / best_dev
+        print(
+            f"# device-only witness gen: {dev_rows_per_sec/1e6:.1f}M rows/s "
+            f"(one dispatch, {dev_iters} fori_loop iterations)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"# device-only loop failed: {e!r}", file=sys.stderr)
 
     print(
         f"# device-resident witness gen: {rows_per_sec/1e6:.1f}M rows/s; "
@@ -239,37 +330,59 @@ def main():
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / REFERENCE_ROWS_PER_SEC, 3),
     }
-    if not os.environ.get("BENCH_SKIP_MSM"):
+    if dev_rows_per_sec is not None:
+        result["device_only_rows_per_sec"] = round(dev_rows_per_sec, 1)
+        result["device_only_vs_baseline"] = round(
+            dev_rows_per_sec / REFERENCE_ROWS_PER_SEC, 3
+        )
+    # land the headline NOW — a sub-bench overrun must not take it down
+    print(json.dumps(result), flush=True)
+
+    updated = False
+    if not os.environ.get("BENCH_SKIP_MSM") and _remaining(deadline) > 30:
         try:
             n_msm = int(os.environ.get("BENCH_MSM_POINTS", 500))
             msm_iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
             # 4 x 500-pt instances keep the resident packed advice slabs
             # (~4 GB) comfortably inside one v5e's 16 GB HBM
             n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 4))
-            pts_s, msm_rows_s, msm_rows = bench_msm(n_msm, msm_iters, n_inst)
-            result.update({
-                "msm_points_per_sec": round(pts_s, 1),
-                "msm_points": n_msm,
-                "msm_instances": n_inst,
-                "msm_rows_per_build": msm_rows,
-                "msm_rows_per_sec": round(msm_rows_s, 1),
-            })
+            r = bench_msm(n_msm, msm_iters, n_inst, deadline)
+            if r is not None:
+                pts_s, msm_rows_s, msm_rows, msm_done = r
+                result.update({
+                    "msm_points_per_sec": round(pts_s, 1),
+                    "msm_points": n_msm,
+                    "msm_instances": n_inst,
+                    "msm_iters": msm_done,
+                    "msm_rows_per_build": msm_rows,
+                    "msm_rows_per_sec": round(msm_rows_s, 1),
+                })
+                updated = True
         except Exception as e:  # pragma: no cover
             print(f"# msm bench failed: {e!r}", file=sys.stderr)
-    if not os.environ.get("BENCH_SKIP_KECCAK"):
+    else:
+        print("# msm bench skipped (flag or budget)", file=sys.stderr)
+    if not os.environ.get("BENCH_SKIP_KECCAK") and _remaining(deadline) > 30:
         try:
             kB = int(os.environ.get("BENCH_KECCAK_BATCH", 128))
             k_iters = int(os.environ.get("BENCH_KECCAK_ITERS", 2))
-            hps, krps, krows = bench_keccak(kB, k_iters)
-            result.update({
-                "keccak_hashes_per_sec": round(hps, 1),
-                "keccak_batch": kB,
-                "keccak_rows_per_build": krows,
-                "keccak_rows_per_sec": round(krps, 1),
-            })
+            r = bench_keccak(kB, k_iters, deadline)
+            if r is not None:
+                hps, krps, krows = r
+                result.update({
+                    "keccak_hashes_per_sec": round(hps, 1),
+                    "keccak_batch": kB,
+                    "keccak_rows_per_build": krows,
+                    "keccak_rows_per_sec": round(krps, 1),
+                })
+                updated = True
         except Exception as e:  # pragma: no cover
             print(f"# keccak bench failed: {e!r}", file=sys.stderr)
-    print(json.dumps(result))
+    else:
+        print("# keccak bench skipped (flag or budget)", file=sys.stderr)
+
+    if updated:
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,11 @@ def _conv_tensor_np(La: int, Lb: int, out_len: int, offset: int):
 
 
 def _backend() -> str:
+    """Backend for limb-kernel form dispatch. Resolved at Python trace time
+    from the process default backend — NOT from the lowering context — so the
+    backend must be fixed (jax.config.update("jax_platforms", ...)) before
+    any limb kernel is traced. A trace placed on a non-default device picks
+    the default backend's form: bit-exact either way, perf-only."""
     return jax.default_backend()
 
 

@@ -4,7 +4,14 @@ Compares the Kogge-Stone/skew-reshape forms (fb78e95, CPU-compile-friendly)
 against the einsum/scan forms (813964f, the ones the 110M rows/s headline was
 measured with) and the MXU const-mul path, to pick per-backend dispatch.
 
-Usage: python scripts/kernel_microbench.py [B]
+Usage: python scripts/kernel_microbench.py [B] [--cpu]
+
+--cpu forces the CPU backend (the image's sitecustomize pre-imports jax with
+JAX_PLATFORMS=axon and ignores env overrides, so the switch must happen via
+jax.config before any backend use). CLAUDE.md mandates measuring kernel
+changes on BOTH backends; this flag is the CPU half. The persistent compile
+cache is only enabled on TPU — XLA:CPU AOT cache loads silently miscompute
+on this host.
 """
 
 import os
@@ -17,10 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        ),
+    )
 
 from functools import lru_cache, partial
 
@@ -73,17 +86,29 @@ def mul_limbs_einsum(a, b, out_len=None, carry=carry_norm_scan):
     return carry(acc, out_len)
 
 
-def bench(name, fn, args, iters=20):
+def _hard_sync(out):
+    """Device->host fetch of one element: jax.block_until_ready over the axon
+    tunnel returns before queued dispatches execute (see CLAUDE.md), so a
+    fetch is the only trustworthy barrier."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
+def bench(name, fn, args, iters=20, repeats=3):
     fn = jax.jit(fn)
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:50s} {dt*1e3:9.3f} ms")
-    return dt
+    _hard_sync(out)
+    # best-of-repeats: tunnel congestion swings >10x between identical runs;
+    # the minimum time (maximum throughput) measures the program, not the link
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _hard_sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{name:50s} {best*1e3:9.3f} ms")
+    return best
 
 
 def main():
