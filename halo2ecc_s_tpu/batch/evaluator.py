@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import ff_jax as ff
+from ..kernels import ff_lane as fl
 from .symbolic import Node, Tape
 
 
@@ -46,9 +47,9 @@ CONST_ARRAY_OPS = {"shr", "andmask", "mulc", "sub", "assume"}
 
 
 @lru_cache(maxsize=None)
-def _div_spec(m: int, x_limbs: int) -> ff.DivSpec:
+def _mk_div_spec(m: int, x_limbs: int, lane: bool = False):
     q_limbs = max(x_limbs - ff.n_limbs_for(m) + 2, 1)
-    return ff.DivSpec(m, x_limbs, q_limbs)
+    return (fl if lane else ff).DivSpec(m, x_limbs, q_limbs)
 
 
 def _const_arr(v: int, L: int):
@@ -105,11 +106,13 @@ def _vector_plan(tape: Tape, order: Sequence[int], skip: set):
 
 
 class _Bufs:
-    """Per-width slot buffers of vectorized values ([B, slots, L])."""
+    """Per-width slot buffers of vectorized values ([B, slots, L] batch-major
+    or [slots, L, B] lane-major)."""
 
-    def __init__(self):
+    def __init__(self, axis: int = 1):
         self.parts: Dict[int, List] = {}
         self.cat: Dict[int, object] = {}
+        self.axis = axis
 
     def append(self, L: int, arr):
         self.parts.setdefault(L, []).append(arr)
@@ -119,7 +122,7 @@ class _Bufs:
         c = self.cat.get(L)
         if c is None:
             p = self.parts[L]
-            c = p[0] if len(p) == 1 else jnp.concatenate(p, axis=1)
+            c = p[0] if len(p) == 1 else jnp.concatenate(p, axis=self.axis)
             self.parts[L] = [c]
             self.cat[L] = c
         return c
@@ -127,7 +130,7 @@ class _Bufs:
 
 def build_evaluator_packed(
     tape: Tape, roots: Sequence[int], fuse_pallas_modmul: bool = False,
-    vectorize: bool = True,
+    vectorize: bool = True, lane_major: bool = False,
 ):
     """Returns (fn, vec_slot). fn(inputs: dict name -> u32[B, limbs]) ->
     (outs: dict nid -> u32[B, limbs], bufs: dict L -> u32[B, S, L]).
@@ -136,7 +139,18 @@ def build_evaluator_packed(
     Call through jax.jit.
 
     fuse_pallas_modmul: lower mod(mul(a, b), m) pairs (where the product has
-    no other consumer) through the fused Pallas kernel — TPU only, opt-in."""
+    no other consumer) through the fused Pallas kernel — TPU only, opt-in.
+
+    lane_major: run the whole evaluation in lane-major layout (limb axis
+    second-minor, batch minor; kernels/ff_lane.py): inputs are transposed on
+    entry and outs/bufs are RETURNED lane-major (outs [L, B], bufs
+    [S, L, B]). On TPU the batch then fills the 128-wide vector lanes and
+    every limb-index op is a leading-axis slice — measured 2x on mul_mod and
+    ~an order of magnitude on table packing vs the [B, L] layout, where
+    8-16-limb minor dims waste >=8x of each vector op and gathers cross
+    lanes (scripts/lane_microbench.py, scripts/device_profile.py)."""
+    if lane_major:
+        assert not fuse_pallas_modmul, "pallas fusion is batch-major only"
     order = live_nodes(tape, roots)
     input_names = {nid: name for nid, name, _ in tape.inputs}
     roots_set = set(roots)
@@ -228,21 +242,66 @@ def build_evaluator_packed(
             pack[L].append(s)
     pack_idx = {L: np.asarray(s, dtype=np.int32) for L, s in pack.items()}
 
+    K = fl if lane_major else ff
+
     def fn(inputs: Dict[str, jnp.ndarray]):
         vals: Dict[int, jnp.ndarray] = {}
-        bufs = _Bufs()
+        bufs = _Bufs(axis=0 if lane_major else 1)
         B = None
         for arr in inputs.values():
             B = arr.shape[0]
             break
 
+        if lane_major:
+
+            def _in(arr):
+                return jnp.moveaxis(jnp.asarray(arr), 0, -1)
+
+            def slot_take(buf, s):
+                return buf[s]
+
+            def slot_gather(buf, idx):
+                return buf[idx]
+
+            def expand(arr):  # add the slot axis
+                return arr[None]
+
+            def bconst(c, L):  # scalar const, broadcast over batch
+                return jnp.broadcast_to(_const_arr(c, L)[:, None], (L, B))
+
+            def gconst(arr2d):  # [G, Lc] static, broadcastable over batch
+                return jnp.asarray(arr2d)[..., None]
+
+        else:
+
+            def _in(arr):
+                return jnp.asarray(arr)
+
+            def slot_take(buf, s):
+                return buf[:, s]
+
+            def slot_gather(buf, idx):
+                return buf[:, idx]
+
+            def expand(arr):
+                return arr[:, None, :]
+
+            def bconst(c, L):
+                return jnp.broadcast_to(_const_arr(c, L), (B, L))
+
+            def gconst(arr2d):
+                return jnp.asarray(arr2d)
+
         def val(nid):
             v = vals.get(nid)
             if v is None:
                 L, s = slot[nid]
-                v = bufs.full(L)[:, s]
+                v = slot_take(bufs.full(L), s)
                 vals[nid] = v
             return v
+
+        def nlimbs(v):
+            return v.shape[-2] if lane_major else v.shape[-1]
 
         def run_scalar(nid):
             node: Node = tape.nodes[nid]
@@ -257,74 +316,84 @@ def build_evaluator_packed(
                 return
             if op == "input":
                 arr = inputs[input_names[nid]]
-                vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))
+                vals[nid] = K.pad_limbs(_in(arr), _limbs(node.bits))
             elif op == "input_vec":
                 arr = inputs[input_names[nid]]  # [B, K, limbs]
-                vals[nid] = ff.pad_limbs(arr, _limbs(node.bits))
+                vals[nid] = K.pad_limbs(_in(arr), _limbs(node.bits))
             elif op == "pick":
-                vals[nid] = val(node.args[0])[:, node.const]
+                vals[nid] = slot_take(val(node.args[0]), node.const)
             elif op == "const":
-                vals[nid] = jnp.broadcast_to(
-                    _const_arr(node.const, _limbs(node.bits)), (B, _limbs(node.bits))
-                )
+                vals[nid] = bconst(node.const, _limbs(node.bits))
             elif op == "add":
                 a, b = val(node.args[0]), val(node.args[1])
-                vals[nid] = ff.add_limbs(a, b, _limbs(node.bits))
+                vals[nid] = K.add_limbs(a, b, _limbs(node.bits))
             elif op == "sub":
                 a, b = val(node.args[0]), val(node.args[1])
                 L = _limbs(node.bits)
-                t = ff.add_limbs(a, jnp.broadcast_to(_const_arr(node.const, L), (B, L)), L)
-                d, _ = ff.sub_limbs(t, b)
+                t = K.add_limbs(a, bconst(node.const, L), L)
+                d, _ = K.sub_limbs(t, b)
                 vals[nid] = d
             elif op == "mulc":
                 a = val(node.args[0])
-                c = _const_arr(node.const, _limbs(max(node.const.bit_length(), 1)))
-                vals[nid] = ff.mul_limbs(a, jnp.broadcast_to(c, (B, c.shape[-1])),
-                                         _limbs(node.bits))
+                Lc = _limbs(max(node.const.bit_length(), 1))
+                vals[nid] = K.mul_limbs(
+                    a, bconst(node.const, Lc), _limbs(node.bits)
+                )
             elif op == "mul":
                 a, b = val(node.args[0]), val(node.args[1])
-                vals[nid] = ff.mul_limbs(a, b, _limbs(node.bits))
+                vals[nid] = K.mul_limbs(a, b, _limbs(node.bits))
             elif op == "mod":
                 a = val(node.args[0])
                 Lm = ff.n_limbs_for(node.const)
-                if a.shape[-1] <= 2 * Lm:
-                    f = ff.make_field(node.const)
-                    r = ff.barrett_reduce(f, ff.pad_limbs(a, 2 * Lm))
+                if nlimbs(a) <= 2 * Lm:
+                    f = K.make_field(node.const)
+                    r = K.barrett_reduce(f, K.pad_limbs(a, 2 * Lm))
                 else:
-                    spec = _div_spec(node.const, a.shape[-1])
-                    _, r = ff.div_rem_by(spec, a)
-                vals[nid] = ff.pad_limbs(r, _limbs(node.bits))
+                    spec = _mk_div_spec(node.const, nlimbs(a), lane_major)
+                    _, r = K.div_rem_by(spec, a)
+                vals[nid] = K.pad_limbs(r, _limbs(node.bits))
             elif op == "div":
                 a = val(node.args[0])
-                spec = _div_spec(node.const, max(a.shape[-1], ff.n_limbs_for(node.const) + 1))
-                q, _ = ff.div_rem_by(spec, ff.pad_limbs(a, spec.x_limbs))
-                vals[nid] = ff.pad_limbs(q, _limbs(node.bits))
+                spec = _mk_div_spec(
+                    node.const, max(nlimbs(a), ff.n_limbs_for(node.const) + 1),
+                    lane_major,
+                )
+                q, _ = K.div_rem_by(spec, K.pad_limbs(a, spec.x_limbs))
+                vals[nid] = K.pad_limbs(q, _limbs(node.bits))
             elif op == "assume":
-                vals[nid] = ff.pad_limbs(val(node.args[0]), _limbs(node.const))
+                vals[nid] = K.pad_limbs(val(node.args[0]), _limbs(node.const))
             elif op == "andmask":
                 a = val(node.args[0])
-                vals[nid] = ff.extract_bit_slice(a, 0, max(node.const.bit_length(), 1))
+                vals[nid] = K.extract_bit_slice(a, 0, max(node.const.bit_length(), 1))
             elif op == "shr":
                 a = val(node.args[0])
-                width = max(a.shape[-1] * 16 - node.const, 1)
-                vals[nid] = ff.extract_bit_slice(a, node.const, width)
+                width = max(nlimbs(a) * 16 - node.const, 1)
+                vals[nid] = K.extract_bit_slice(a, node.const, width)
             elif op == "inv":
                 a = val(node.args[0])
                 m = node.const
-                f = ff.make_field(m)
-                vals[nid] = ff.pow_mod(f, ff.pad_limbs(a, f.L), m - 2)
+                f = K.make_field(m)
+                vals[nid] = K.pow_mod(f, K.pad_limbs(a, f.L), m - 2)
             elif op == "powm":
                 e, m = node.const
-                f = ff.make_field(m)
-                vals[nid] = ff.pow_mod(f, ff.pad_limbs(val(node.args[0]), f.L), e)
+                f = K.make_field(m)
+                vals[nid] = K.pow_mod(f, K.pad_limbs(val(node.args[0]), f.L), e)
             elif op == "gather":
                 *val_ids, idx_id = node.args
                 L = _limbs(node.bits)
-                stacked = jnp.stack(
-                    [ff.pad_limbs(val(v), L) for v in val_ids], axis=0
-                )  # [K, B, L]
-                idx = val(idx_id)[..., 0].astype(jnp.int32)
-                vals[nid] = stacked[idx, jnp.arange(B)]
+                if lane_major:
+                    stacked = jnp.stack(
+                        [K.pad_limbs(val(v), L) for v in val_ids], axis=0
+                    )  # [K, L, B]
+                    idx = val(idx_id)[..., 0, :].astype(jnp.int32)  # [B]
+                    sel = jnp.broadcast_to(idx[None, None, :], (1,) + stacked.shape[1:])
+                    vals[nid] = jnp.take_along_axis(stacked, sel, axis=0)[0]
+                else:
+                    stacked = jnp.stack(
+                        [K.pad_limbs(val(v), L) for v in val_ids], axis=0
+                    )  # [K, B, L]
+                    idx = val(idx_id)[..., 0].astype(jnp.int32)
+                    vals[nid] = stacked[idx, jnp.arange(B)]
             else:
                 raise NotImplementedError(op)
 
@@ -335,55 +404,53 @@ def build_evaluator_packed(
             inj, arg_idx, arg_L, Lout = gmeta[key]
             G = len(g)
             if op == "pick":
-                src = val(key[1])  # [B, K, Lv]
+                src = val(key[1])  # [B, K, Lv] / [K, Lv, B]
                 idx = np.asarray([tape.nodes[n].const for n in g], dtype=np.int32)
-                bufs.append(Lout, ff.pad_limbs(src[:, idx], Lout))
+                bufs.append(Lout, K.pad_limbs(slot_gather(src, idx), Lout))
                 return
             for src, La in inj:
-                bufs.append(La, ff.pad_limbs(val(src), La)[:, None, :])
+                bufs.append(La, expand(K.pad_limbs(val(src), La)))
             args = [
-                bufs.full(La)[:, idx] for idx, La in zip(arg_idx, arg_L)
+                slot_gather(bufs.full(La), idx)
+                for idx, La in zip(arg_idx, arg_L)
             ]
             if op == "add":
-                out = ff.add_limbs(args[0], args[1], Lout)
+                out = K.add_limbs(args[0], args[1], Lout)
             elif op == "sub":
                 a, b = args
                 # per-member underflow lifts as one static [G, Lout] array
-                lifts = jnp.asarray(np.stack(
+                lifts = gconst(np.stack(
                     [ff.int_to_limbs(tape.nodes[n].const, Lout) for n in g]
                 ))
-                t = ff.add_limbs(
-                    a, jnp.broadcast_to(lifts, (B, G, Lout)), Lout
-                )
-                out, _ = ff.sub_limbs(t, b)
+                t = K.add_limbs(a, lifts, Lout)
+                out, _ = K.sub_limbs(t, b)
             elif op == "mulc":
                 Lc = max(
                     _limbs(max(tape.nodes[n].const.bit_length(), 1)) for n in g
                 )
-                c = jnp.asarray(np.stack(
+                c = gconst(np.stack(
                     [ff.int_to_limbs(tape.nodes[n].const, Lc) for n in g]
                 ))
-                out = ff.mul_limbs(
-                    args[0], jnp.broadcast_to(c, (B, G, Lc)), Lout
-                )
+                out = K.mul_limbs(args[0], c, Lout)
             elif op == "mul":
-                out = ff.mul_limbs(args[0], args[1], Lout)
+                out = K.mul_limbs(args[0], args[1], Lout)
             elif op == "mod":
                 a = args[0]
                 Lm = ff.n_limbs_for(node0.const)
-                if a.shape[-1] <= 2 * Lm:
-                    f = ff.make_field(node0.const)
-                    r = ff.barrett_reduce(f, ff.pad_limbs(a, 2 * Lm))
+                if nlimbs(a) <= 2 * Lm:
+                    f = K.make_field(node0.const)
+                    r = K.barrett_reduce(f, K.pad_limbs(a, 2 * Lm))
                 else:
-                    spec = _div_spec(node0.const, a.shape[-1])
-                    _, r = ff.div_rem_by(spec, a)
+                    spec = _mk_div_spec(node0.const, nlimbs(a), lane_major)
+                    _, r = K.div_rem_by(spec, a)
                 out = r
             elif op == "div":
                 a = args[0]
-                spec = _div_spec(
-                    node0.const, max(a.shape[-1], ff.n_limbs_for(node0.const) + 1)
+                spec = _mk_div_spec(
+                    node0.const, max(nlimbs(a), ff.n_limbs_for(node0.const) + 1),
+                    lane_major,
                 )
-                q, _ = ff.div_rem_by(spec, ff.pad_limbs(a, spec.x_limbs))
+                q, _ = K.div_rem_by(spec, K.pad_limbs(a, spec.x_limbs))
                 out = q
             elif op == "assume":
                 out = args[0]
@@ -391,24 +458,24 @@ def build_evaluator_packed(
                 widths = np.asarray(
                     [max(tape.nodes[n].const.bit_length(), 1) for n in g]
                 )
-                out = ff.extract_bit_slice_vec(
+                out = K.extract_bit_slice_vec(
                     args[0], np.zeros(G, np.int64), Lout, widths
                 )
             elif op == "shr":
                 starts = np.asarray([tape.nodes[n].const for n in g])
-                out = ff.extract_bit_slice_vec(args[0], starts, Lout)
+                out = K.extract_bit_slice_vec(args[0], starts, Lout)
             elif op == "inv":
-                f = ff.make_field(node0.const)
-                out = ff.pow_mod(
-                    f, ff.pad_limbs(args[0], f.L), node0.const - 2
+                f = K.make_field(node0.const)
+                out = K.pow_mod(
+                    f, K.pad_limbs(args[0], f.L), node0.const - 2
                 )
             elif op == "powm":
                 e, m = node0.const
-                f = ff.make_field(m)
-                out = ff.pow_mod(f, ff.pad_limbs(args[0], f.L), e)
+                f = K.make_field(m)
+                out = K.pow_mod(f, K.pad_limbs(args[0], f.L), e)
             else:  # pragma: no cover
                 raise NotImplementedError(op)
-            bufs.append(Lout, ff.pad_limbs(out, Lout))
+            bufs.append(Lout, K.pad_limbs(out, Lout))
 
         for kind, x in exec_plan:
             if kind == "s":
@@ -417,7 +484,7 @@ def build_evaluator_packed(
                 run_group(x)
 
         outs = {nid: val(nid) for nid in roots_set if nid not in vec_slot}
-        out_bufs = {L: bufs.full(L)[:, idx] for L, idx in pack_idx.items()}
+        out_bufs = {L: slot_gather(bufs.full(L), idx) for L, idx in pack_idx.items()}
         return outs, out_bufs
 
     fn.fused_count = len(fused)

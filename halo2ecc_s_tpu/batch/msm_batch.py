@@ -678,7 +678,8 @@ class BatchMsm:
     # ------------------------------------------------------------------
 
     def build(self, points, scalars, max_tries: int = 10, seed: Optional[int] = None,
-              device: bool = False, mesh=None, write_tables: bool = True):
+              device: bool = False, mesh=None, write_tables: bool = True,
+              smoke_windows: Optional[int] = None):
         """device=True runs the value pipeline fully device-resident: every
         phase's witness values AND advice slabs are computed by jitted
         emitters chaining device arrays (no host round-trip between phases);
@@ -694,7 +695,18 @@ class BatchMsm:
         candidate table, and the final window-accumulator all-gather).
         GSPMD is used rather than shard_map because the window axis (254)
         is not divisible by typical mesh sizes; uneven partitioning is
-        handled by the compiler. Records are bit-exact with mesh=None."""
+        handled by the compiler. Records are bit-exact with mesh=None.
+
+        smoke_windows (dryrun/debug only): truncate the accumulation phases
+        to the LOWEST smoke_windows 1-bit windows (the decompose still
+        constrains every scalar bit, so all emitted rows stay gate-valid).
+        The result point is the MSM of (scalar mod 2^smoke_windows) — EXACT
+        whenever every scalar < 2^smoke_windows. Used by __graft_entry__'s
+        multi-chip dryrun to exercise every sharded phase without the full
+        254-window tail on a CPU host. Native-scalar engine only."""
+        if smoke_windows is not None:
+            assert not self.general, "smoke_windows: native-scalar engine only"
+        self._smoke_windows = smoke_windows
         base_seed = seed if seed is not None else random.SystemRandom().randrange(1 << 62)
         if mesh is not None:
             device = True
@@ -711,7 +723,10 @@ class BatchMsm:
         assert n_orig >= 1
         gs = self.group_size
         pad = (-n_orig) % gs
-        if ((n_orig + pad) // gs) % 2:
+        if ((n_orig + pad) // gs) % 2 and smoke_windows is None:
+            # an odd group count leaves one untelescoped blinding line point
+            # per window; smoke configs accept that (the caller corrects the
+            # expected point by (2^W - 1) * rand_line, see dryrun)
             pad += gs
         if pad:
             points = list(points) + [self.g1.generator] * pad
@@ -742,6 +757,7 @@ class BatchMsm:
             len(p) == len(instances[0][0]) for p, _ in instances
         ), "instances must share a common size"
         assert self.with_select, "multi-instance uses the select-chip engine"
+        self._smoke_windows = None
         base_seed = seed if seed is not None else random.SystemRandom().randrange(1 << 62)
         self._write_tables = write_tables
         gs = self.group_size
@@ -776,7 +792,7 @@ class BatchMsm:
         assert npp % group_size == 0  # build() pads to this shape
         ngp = npp // group_size  # groups per instance
         n_groups = n_pts // group_size  # total groups (phase-3 lane count)
-        assert ngp % 2 == 0
+        assert ngp % 2 == 0 or getattr(self, "_smoke_windows", None)
         if n_inst > 1:
             assert mesh is None and self.with_select
 
@@ -905,6 +921,12 @@ class BatchMsm:
                 deferred=deferred,
                 _B=n_pts if mesh is not None else None,
             )
+        smoke = getattr(self, "_smoke_windows", None)
+        if smoke:
+            # keep the LOWEST `smoke` windows: out_dec[0] is the MSB window
+            # (decompose_scalar reverses, ecc_ops.py); the dropped high
+            # windows stay fully constrained by the decompose rows
+            out_dec = out_dec[-smoke:]
         windows = len(out_dec)
 
         # ---- scalar setup: random blinding points (fresh per instance) ----
@@ -920,6 +942,13 @@ class BatchMsm:
             rand_line_negs.append(ecc.ecc_reduce_non_zero(ecc.ecc_neg_non_zero(rl)))
         rand_acc, rand_line = rand_accs[0], rand_lines[0]
         rand_acc_neg, rand_line_neg = rand_acc_negs[0], rand_line_negs[0]
+        # host values of the blinding line points (smoke configs with an odd
+        # group count need them to compute the expected point)
+        self._last_rand_lines = [
+            (ecc.base_ictx.get_w_bn(p.x) % curve.p,
+             ecc.base_ictx.get_w_bn(p.y) % curve.p)
+            for p in rand_lines
+        ]
         group_prefix = ecc.get_and_increase_msm_prefix() if self.with_select else 0
 
         def _grp_init(gi: int):
@@ -1321,6 +1350,23 @@ class BatchMsm:
         _t0 = _phase_mark("4 windows", _t0, deferred and deferred[-1].slabs)
 
         # ---- phase 5: final accumulation (double-and-add over windows) ----
+        if device and smoke:
+            # smoke tail (dryrun): the sequential double-add over the few
+            # smoke windows has trivial lane count (n_inst=1) — drain the
+            # device pipeline here and run it through the ordinary scalar
+            # chip ops (the device=False branch below). Avoids compiling the
+            # per-times-signature "fin" templates, which dominate a cold
+            # CPU-mesh dryrun (~2min each on a 4-core host) while adding no
+            # sharding coverage (phase-5 inputs are replicated anyway).
+            if mesh is not None:
+                # still exercise the EC window-accumulator all-gather
+                for coord in ("x", "y"):
+                    t = acc_tree[coord]
+                    t["limbs"] = [(replicate(v), rc) for (v, rc) in t["limbs"]]
+                    t["native"] = (replicate(t["native"][0]), t["native"][1])
+            finalize_deferred(deferred, write=getattr(self, "_write_tables", True))
+            acc_tree = tree_to_numpy(acc_tree)
+            device = False
         if device:
             if mesh is not None:
                 # EC window-accumulator aggregation: all-gather the window

@@ -4,10 +4,9 @@ Run ordinary chip code (Context / IntegerContext / Ecc ops) once with SymVal
 inputs: every Python-int operation the chips perform is recorded on a tape
 while an exact lane-0 value drives control flow identically to the scalar
 path. The tape then lowers to one batched XLA program (evaluator.py) that
-computes every witness value for B instances at once — the general form of
-the hand-built engine in integer_batch.py, and the "witness-table compiler"
-shape the reference's design implies (witness gen fully outside synthesize,
-with statically predictable layouts; SURVEY §7).
+computes every witness value for B instances at once — the "witness-table
+compiler" shape the reference's design implies (witness gen fully outside
+synthesize, with statically predictable layouts; SURVEY §7).
 
 Exactness model: every node's device representation equals
 `true_value + pad` where `pad` is a trace-time-static non-negative integer,

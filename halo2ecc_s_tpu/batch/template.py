@@ -37,6 +37,22 @@ from .evaluator import build_evaluator_packed
 from .symbolic import SymVal, Tape
 
 
+def _lane_mode(fuse: bool) -> bool:
+    """Evaluation layout dispatch, resolved at template-build (trace) time
+    like ff_jax._backend(): lane-major (limb axis second-minor, batch minor;
+    kernels/ff_lane.py) on accelerators, where it measures 2x on mul_mod and
+    ~order-of-magnitude on table packing; batch-major on CPU, where the
+    lane forms compile and run slower (scripts/lane_microbench.py --cpu).
+    HALO2ECC_TPU_LANE_MAJOR=0/1 overrides; the pallas fusion peephole is
+    batch-major only."""
+    if fuse:
+        return False
+    ov = os.environ.get("HALO2ECC_TPU_LANE_MAJOR")
+    if ov is not None:
+        return ov not in ("", "0")
+    return jax.default_backend() != "cpu"
+
+
 class _CaptureTable(RegionTable):
     """RegionTable that records symbolic advice writes as (row, col, node)."""
 
@@ -257,6 +273,199 @@ class Template:
         """u32[..., 16] 16-bit limbs -> u32[..., 8] packed limb pairs."""
         return v[..., 0::2] | (v[..., 1::2] << 16)
 
+    def _table_pack_plan(self, eslot):
+        """Static per-region plan for gather-based advice-table assembly.
+
+        The old path scattered capture blocks into a broadcast constant
+        table (`tbl.at[rows, cols].set(...)`), which XLA lowers to chained
+        full-table copies — measured 54% of total emit time on TPU
+        (scripts/device_profile.py). The gather form builds one packed
+        capture buffer [B, n_caps, 8], gathers it per CELL with a static
+        index, and selects capture-vs-constant with one fused where — a
+        single output-table write pass.
+
+        Returns per region: (stride, n_adv, const_flat u32[S,8],
+        cell_src i32[S], is_cap bool[S], src_specs, n_caps) or None.
+        src_specs: [("vec", L, slot_idx i32[k])... , ("scalar", [nid...])]
+        in capture-buffer order.
+        """
+        plans = []
+        for info in self._region_const_info():
+            if info is None:
+                plans.append(None)
+                continue
+            stride, n_adv, const, captures = info
+            S = stride * n_adv
+            byw: Dict[int, list] = {}
+            scalars = []
+            for (r, c, nid) in captures:
+                if nid in eslot:
+                    L, i = eslot[nid]
+                    byw.setdefault(L, []).append((r, c, i))
+                else:
+                    scalars.append((r, c, nid))
+            cell_src = np.zeros(S, dtype=np.int32)
+            is_cap = np.zeros(S, dtype=bool)
+            src_specs = []
+            pos = 0
+            for L in sorted(byw):
+                entries = byw[L]
+                idxs = np.array([i for (_, _, i) in entries], dtype=np.int32)
+                for k, (r, c, _) in enumerate(entries):
+                    cell = r * n_adv + c
+                    assert not is_cap[cell], "cell captured twice"
+                    cell_src[cell] = pos + k
+                    is_cap[cell] = True
+                src_specs.append(("vec", L, idxs))
+                pos += len(entries)
+            if scalars:
+                for k, (r, c, _) in enumerate(scalars):
+                    cell = r * n_adv + c
+                    assert not is_cap[cell], "cell captured twice"
+                    cell_src[cell] = pos + k
+                    is_cap[cell] = True
+                src_specs.append(("scalar", [nid for (_, _, nid) in scalars]))
+                pos += len(scalars)
+            plans.append(
+                (stride, n_adv, const.reshape(S, 8), cell_src, is_cap,
+                 src_specs, pos)
+            )
+        return plans
+
+    @staticmethod
+    def _pack8(v):
+        """u32[..., L] 16-bit limbs -> u32[..., 8] packed pairs (truncating
+        past 16 limbs — captured cells are field values < n < 2^256)."""
+        import jax.numpy as jnp
+
+        v = v[..., :16]
+        L = v.shape[-1]
+        if L % 2:
+            v = jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-1] + (1,), jnp.uint32)], axis=-1
+            )
+        p = v[..., 0::2] | (v[..., 1::2] << 16)
+        if p.shape[-1] < 8:
+            p = jnp.concatenate(
+                [p, jnp.zeros(p.shape[:-1] + (8 - p.shape[-1],), jnp.uint32)],
+                axis=-1,
+            )
+        return p
+
+    @staticmethod
+    def _pack8_lane(v):
+        """Lane-major _pack8: u32[..., L, B] -> u32[..., 8, B]."""
+        import jax.numpy as jnp
+
+        v = v[..., :16, :]
+        L = v.shape[-2]
+        if L % 2:
+            v = jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-2] + (1,) + v.shape[-1:], jnp.uint32)],
+                axis=-2,
+            )
+        p = v[..., 0::2, :] | (v[..., 1::2, :] << 16)
+        if p.shape[-2] < 8:
+            p = jnp.concatenate(
+                [p, jnp.zeros(p.shape[:-2] + (8 - p.shape[-2],) + p.shape[-1:],
+                              jnp.uint32)],
+                axis=-2,
+            )
+        return p
+
+    def _assemble_tables_lane(self, plans, take, bufs, B):
+        """Lane-major table assembly: capture buffers [ncap, 8, B], a
+        leading-axis gather per region (contiguous [8, B] row blocks — no
+        cross-lane movement), one fused where against the constant pattern,
+        and a single transpose to the Records-facing [B, stride, n_adv, 8]."""
+        import jax.numpy as jnp
+
+        def pad16(v):  # [L, B] -> [16, B]
+            if v.shape[-2] < 16:
+                return jnp.concatenate(
+                    [v, jnp.zeros((16 - v.shape[-2],) + v.shape[-1:], jnp.uint32)],
+                    axis=-2,
+                )
+            return v[..., :16, :]
+
+        slabs = {}
+        for ridx, plan in enumerate(plans):
+            if plan is None:
+                continue
+            stride, n_adv, const_flat, cell_src, is_cap, src_specs, ncap = plan
+            if ncap == 0:
+                slabs[ridx] = jnp.broadcast_to(
+                    jnp.asarray(const_flat).reshape(stride, n_adv, 8),
+                    (B, stride, n_adv, 8),
+                )
+                continue
+            parts = []
+            for spec in src_specs:
+                if spec[0] == "vec":
+                    _, L, idxs = spec
+                    parts.append(self._pack8_lane(bufs[L][idxs]))
+                else:
+                    parts.append(
+                        self._pack8_lane(
+                            jnp.stack([pad16(take(n)) for n in spec[1]], axis=0)
+                        )
+                    )
+            cap_buf = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            gathered = cap_buf[jnp.asarray(cell_src)]  # [S, 8, B]
+            tbl = jnp.where(
+                jnp.asarray(is_cap)[:, None, None],
+                gathered,
+                jnp.asarray(const_flat)[:, :, None],
+            )
+            slabs[ridx] = jnp.transpose(tbl, (2, 0, 1)).reshape(
+                B, stride, n_adv, 8
+            )
+        return slabs
+
+    def _assemble_tables(self, plans, take, bufs, B):
+        """Gather-based table assembly (see _table_pack_plan)."""
+        import jax.numpy as jnp
+
+        def pad16(v):
+            if v.shape[-1] < 16:
+                return jnp.concatenate(
+                    [v, jnp.zeros(v.shape[:-1] + (16 - v.shape[-1],), jnp.uint32)],
+                    axis=-1,
+                )
+            return v[..., :16]
+
+        slabs = {}
+        for ridx, plan in enumerate(plans):
+            if plan is None:
+                continue
+            stride, n_adv, const_flat, cell_src, is_cap, src_specs, ncap = plan
+            if ncap == 0:
+                slabs[ridx] = jnp.broadcast_to(
+                    jnp.asarray(const_flat).reshape(stride, n_adv, 8),
+                    (B, stride, n_adv, 8),
+                )
+                continue
+            parts = []
+            for spec in src_specs:
+                if spec[0] == "vec":
+                    _, L, idxs = spec
+                    parts.append(self._pack8(bufs[L][:, idxs]))
+                else:
+                    parts.append(
+                        self._pack8(
+                            jnp.stack([pad16(take(n)) for n in spec[1]], axis=1)
+                        )
+                    )
+            cap_buf = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            gathered = cap_buf[:, jnp.asarray(cell_src)]  # [B, S, 8]
+            tbl = jnp.where(
+                jnp.asarray(is_cap)[None, :, None],
+                gathered,
+                jnp.asarray(const_flat)[None],
+            )
+            slabs[ridx] = tbl.reshape(B, stride, n_adv, 8)
+        return slabs
+
     def slab_value_emitter(self):
         """Jitted fn(inputs) -> (slabs, outvals, flags) computing, fully on
         device: the advice slabs ({ridx: u32[B, stride, n_adv, 8] —
@@ -283,8 +492,9 @@ class Template:
 
         roots = tuple(self._roots())
         fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
+        lane = _lane_mode(fuse)
         ev, eslot = build_evaluator_packed(
-            self.tape, roots, fuse_pallas_modmul=fuse
+            self.tape, roots, fuse_pallas_modmul=fuse, lane_major=lane
         )
         region_info = self._region_const_info()
         vec_groups = []
@@ -311,48 +521,19 @@ class Template:
                 )
             return v[..., :16]
 
-        # Captures per region, split by source: individually-computed roots
-        # (stacked) vs vectorized roots (ONE gather from the packed buffer
-        # per width) — scatters stay O(1) per region even for keccak-sized
-        # capture counts (~19k cells/round).
-        cap_scalar = []
-        cap_vec = []
-        for info in region_info:
-            if info is None or not info[3]:
-                cap_scalar.append(None)
-                cap_vec.append(None)
-                continue
-            _, _, _, captures = info
-            s_rows, s_cols, s_nids = [], [], []
-            byw: Dict[int, list] = {}
-            for (r, c, nid) in captures:
-                if nid in eslot:
-                    L, i = eslot[nid]
-                    byw.setdefault(L, []).append((r, c, i))
-                else:
-                    s_rows.append(r)
-                    s_cols.append(c)
-                    s_nids.append(nid)
-            cap_scalar.append(
-                (
-                    np.array(s_rows, dtype=np.int32),
-                    np.array(s_cols, dtype=np.int32),
-                    s_nids,
+        # gather-based table assembly plan (see _table_pack_plan): the
+        # tables are assembled packed (u32 limb pairs) — half the HBM
+        # traffic, and _write_slab consumes this form directly
+        plans = self._table_pack_plan(eslot)
+
+        def pad16_lane(v):  # [..., L, B] -> [..., 16, B]
+            if v.shape[-2] < 16:
+                return jnp.concatenate(
+                    [v, jnp.zeros(v.shape[:-2] + (16 - v.shape[-2],) + v.shape[-1:],
+                                  jnp.uint32)],
+                    axis=-2,
                 )
-                if s_nids
-                else None
-            )
-            cap_vec.append(
-                {
-                    L: (
-                        np.array([r for (r, _, _) in entries], dtype=np.int32),
-                        np.array([c for (_, c, _) in entries], dtype=np.int32),
-                        np.array([i for (_, _, i) in entries], dtype=np.int32),
-                    )
-                    for L, entries in byw.items()
-                }
-                or None
-            )
+            return v[..., :16, :]
 
         def emit(inputs):
             outs, bufs = ev(inputs)
@@ -362,27 +543,40 @@ class Template:
                 v = outs.get(nid)
                 if v is None:
                     L, i = eslot[nid]
-                    v = bufs[L][:, i]
+                    v = bufs[L][i] if lane else bufs[L][:, i]
                 return v
 
-            slabs = {}
-            for ridx, info in enumerate(region_info):
-                if info is None:
-                    continue
-                stride, n_adv, const, captures = info
-                # tables are assembled packed (u32 limb pairs): half the
-                # HBM traffic, and _write_slab consumes this form directly
-                tbl = jnp.broadcast_to(jnp.asarray(const), (B, stride, n_adv, 8))
-                if cap_scalar[ridx] is not None:
-                    rows, cols, nids = cap_scalar[ridx]
-                    stacked = jnp.stack([pad16(take(nid)) for nid in nids], axis=1)
-                    tbl = tbl.at[:, rows, cols, :].set(self._pack_pairs16(stacked))
-                if cap_vec[ridx] is not None:
-                    for L, (rows, cols, idxs) in cap_vec[ridx].items():
-                        tbl = tbl.at[:, rows, cols, :].set(
-                            self._pack_pairs16(pad16(bufs[L][:, idxs]))
-                        )
-                slabs[ridx] = tbl
+            if lane:
+                to_b = lambda v: jnp.moveaxis(v, -1, 0)
+                slabs = self._assemble_tables_lane(plans, take, bufs, B)
+                outvals = {nid: to_b(pad16_lane(take(nid))) for nid in out_nids}
+                for i, group in enumerate(vec_groups):
+                    ws = {eslot[nid][0] for nid in group if nid in eslot}
+                    if len(ws) == 1 and all(nid in eslot for nid in group):
+                        L = next(iter(ws))
+                        idx = np.array([eslot[nid][1] for nid in group], dtype=np.int32)
+                        outvals[("vec", i)] = to_b(pad16_lane(bufs[L][idx]))
+                    else:
+                        outvals[("vec", i)] = to_b(jnp.stack(
+                            [pad16_lane(take(nid)) for nid in group], axis=0
+                        ))
+                diverged = jnp.zeros((), jnp.bool_)
+                for nid, const in aec:
+                    arr = take(nid)
+                    want = jnp.asarray(ff.int_to_limbs(const, arr.shape[-2]))
+                    diverged = diverged | ~jnp.all(arr == want[:, None])
+                width_bad = jnp.zeros((), jnp.bool_)
+                for nid, k in achk:
+                    arr = take(nid)
+                    L = (k + 15) // 16
+                    if arr.shape[-2] > L:
+                        width_bad = width_bad | jnp.any(arr[..., L:, :] != 0)
+                    rem = k % 16
+                    if rem:
+                        width_bad = width_bad | jnp.any(arr[..., L - 1, :] >> rem != 0)
+                return slabs, outvals, {"diverged": diverged, "width_bad": width_bad}
+
+            slabs = self._assemble_tables(plans, take, bufs, B)
             outvals = {nid: pad16(take(nid)) for nid in out_nids}
             for i, group in enumerate(vec_groups):
                 # stacked leaf group: one gather when all leaves share a
@@ -443,69 +637,26 @@ class Template:
 
         roots = tuple(self._roots())
         fuse = bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE"))
+        lane = _lane_mode(fuse)
         ev, eslot = build_evaluator_packed(
-            self.tape, roots, fuse_pallas_modmul=fuse
+            self.tape, roots, fuse_pallas_modmul=fuse, lane_major=lane
         )
-        region_info = self._region_const_info()
+        plans = self._table_pack_plan(eslot)
 
         def emit(inputs):
             outs, bufs = ev(inputs)
             B = next(iter(inputs.values())).shape[0]
 
-            def pad16(v):
-                if v.shape[-1] < 16:
-                    return jnp.concatenate(
-                        [
-                            v,
-                            jnp.zeros(
-                                v.shape[:-1] + (16 - v.shape[-1],), jnp.uint32
-                            ),
-                        ],
-                        axis=-1,
-                    )
-                return v[..., :16]
-
             def take(nid):
                 v = outs.get(nid)
                 if v is None:
                     L, i = eslot[nid]
-                    v = bufs[L][:, i]
+                    v = bufs[L][i] if lane else bufs[L][:, i]
                 return v
 
-            tables = {}
-            for ridx, info in enumerate(region_info):
-                if info is None:
-                    continue
-                stride, n_adv, const, captures = info
-                tbl = jnp.broadcast_to(
-                    jnp.asarray(const), (B, stride, n_adv, 8)
-                )
-                if captures:
-                    s_caps = [(r, c, n) for (r, c, n) in captures if n not in eslot]
-                    if s_caps:
-                        rows = np.array([r for (r, _, _) in s_caps], dtype=np.int32)
-                        cols = np.array([c for (_, c, _) in s_caps], dtype=np.int32)
-                        stacked = jnp.stack(
-                            [pad16(take(nid)) for (_, _, nid) in s_caps], axis=1
-                        )
-                        tbl = tbl.at[:, rows, cols, :].set(
-                            self._pack_pairs16(stacked)
-                        )
-                    byw: Dict[int, list] = {}
-                    for (r, c, n) in captures:
-                        if n in eslot:
-                            byw.setdefault(eslot[n][0], []).append(
-                                (r, c, eslot[n][1])
-                            )
-                    for L, entries in byw.items():
-                        rows = np.array([r for (r, _, _) in entries], dtype=np.int32)
-                        cols = np.array([c for (_, c, _) in entries], dtype=np.int32)
-                        idxs = np.array([i for (_, _, i) in entries], dtype=np.int32)
-                        tbl = tbl.at[:, rows, cols, :].set(
-                            self._pack_pairs16(pad16(bufs[L][:, idxs]))
-                        )
-                tables[ridx] = tbl
-            return tables
+            if lane:
+                return self._assemble_tables_lane(plans, take, bufs, B)
+            return self._assemble_tables(plans, take, bufs, B)
 
         import jax
 

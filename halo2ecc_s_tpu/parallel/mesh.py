@@ -54,32 +54,42 @@ def sharded_msm_build(bm, points, scalars, mesh: Mesh | None = None, **kw):
 
 
 def sharded_int_mul_witness(mesh: Mesh, axis: str = "points"):
-    """Returns a jitted fn computing the batched int_mul witness with the
-    batch sharded over `axis`, plus a psum'd global digest (stand-in for
-    bucket-sum style cross-device aggregation).
+    """Returns a jitted fn(a16, b16) -> (tables, digest): the batched
+    int_mul witness TEMPLATE's device emission (the same pipeline bench.py
+    and the MSM phases run) with the batch sharded over `axis` — each device
+    computes and materialises its own advice-slab shard — plus a psum'd
+    global u32 digest of all slab words (row-accounting / integrity-check
+    collective pattern).
 
-    Outputs keep their shardings (each device holds its slab's values),
-    so the per-host emission path only touches local shards.
+    Outputs keep their shardings (each device holds its slab's rows), so the
+    per-host emission path only touches local shards.
     """
-    from ..batch.integer_batch import get_engine
+    from ..models.int_mul import int_mul_template
 
-    engine = get_engine(BN254_FQ, BN254_FR)
+    tmpl = int_mul_template()
+    raw = tmpl.device_emitter_raw()
+    table_specs = {
+        ridx: P(axis, None, None, None)
+        for ridx, s in enumerate(tmpl.strides)
+        if s != 0
+    }
 
     def step(a16, b16):
-        wit = engine._witness(a16, b16)
-        # global digest: wrap-around u32 fold of every witness value, summed
+        tables = raw({"a": a16, "b": b16})
+        # global digest: wrap-around u32 fold of every advice word, summed
         # across devices (row accounting / integrity check pattern)
         local = jnp.zeros((), dtype=jnp.uint32)
-        for v in wit.values():
+        for v in tables.values():
             local = local + jnp.sum(v, dtype=jnp.uint32)
         digest = jax.lax.psum(local, axis)
 
-        return wit, digest
+        return tables, digest
 
     in_spec = P(axis, None)
     sharded = jax.shard_map(
         step, mesh=mesh, in_specs=(in_spec, in_spec),
-        out_specs=(P(axis, None), P()), check_vma=False,
+        out_specs=(table_specs, P()),
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -115,11 +125,13 @@ def _template_input_names(template):
     return [(name, bits) for (_, name, bits) in template.tape.inputs]
 
 
-def sharded_msm_bucket_reduce(mesh: Mesh, axis: str = "points"):
-    """Cross-device reduction pattern for MSM partials: each device folds its
-    local point shard into per-window native-field accumulators (wide u64-free
-    limb accumulation), then psums raw limb accumulators over ICI and
-    normalises once — one collective for the whole reduction.
+def sharded_field_sum(mesh: Mesh, axis: str = "points"):
+    """Cross-device native-field sum: each device folds its local shard into
+    a redundant limb accumulator, psums raw limb accumulators over ICI, and
+    normalises once — one collective for the whole reduction. (The MSM
+    pipeline's own cross-device aggregation is the EC window-accumulator
+    all-gather inside BatchMsm.build(mesh=...); this helper is the simpler
+    scalar-field collective pattern, used for row accounting / digests.)
     """
     fr = ff.make_field(BN254_FR)
 

@@ -10,8 +10,8 @@ from halo2ecc_s_tpu.kernels import ff_jax as ff
 from halo2ecc_s_tpu.ops.integer_ops import IntegerContext
 from halo2ecc_s_tpu.parallel.mesh import (
     make_mesh,
+    sharded_field_sum,
     sharded_int_mul_witness,
-    sharded_msm_bucket_reduce,
     sharded_template_witness,
 )
 from halo2ecc_s_tpu.utils.fields import BN254_FQ, BN254_FR
@@ -25,6 +25,8 @@ def _needs_devices(n):
 
 @_needs_devices(8)
 def test_sharded_int_mul_witness_runs():
+    from halo2ecc_s_tpu.models.int_mul import int_mul_template
+
     mesh = make_mesh(8)
     step = sharded_int_mul_witness(mesh)
     rng = np.random.default_rng(0)
@@ -33,15 +35,21 @@ def test_sharded_int_mul_witness_runs():
     b = rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32)
     a[:, -1] &= 0x1FFF
     b[:, -1] &= 0x1FFF
-    wit, digest = step(a, b)
-    assert int(digest) > 0
-    assert len(wit) > 20
+    tables, digest = step(a, b)
+    # digest must equal the u32 fold of the single-device emitter's slabs
+    single = int_mul_template().device_emitter()({"a": a, "b": b})
+    expect = sum(
+        int(np.sum(np.asarray(v), dtype=np.uint32)) for v in single.values()
+    ) & 0xFFFFFFFF
+    assert int(digest) == expect
+    for ridx, v in single.items():
+        np.testing.assert_array_equal(np.asarray(tables[ridx]), np.asarray(v))
 
 
 @_needs_devices(8)
-def test_sharded_bucket_reduce_exact():
+def test_sharded_field_sum_exact():
     mesh = make_mesh(8)
-    reduce_fn = sharded_msm_bucket_reduce(mesh)
+    reduce_fn = sharded_field_sum(mesh)
     rng = np.random.default_rng(1)
     vals = [int(rng.integers(0, 1 << 62)) for _ in range(64)]
     arr = ff.ints_to_limbs(vals, 16)
