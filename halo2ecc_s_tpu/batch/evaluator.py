@@ -34,6 +34,10 @@ def _limbs(bits: int) -> int:
     return max((bits + 15) // 16, 1)
 
 
+def _is_pow2(c: int) -> bool:
+    return c > 0 and (c & (c - 1)) == 0
+
+
 # ops safe to execute as one batched call on [B, G, L] operands (every ff
 # primitive batches over leading dims); excluded: input/input_vec/const
 # (level-0 sources), gather (data-dependent per-lane index mix)
@@ -85,6 +89,13 @@ def _vector_plan(tape: Tape, order: Sequence[int], skip: set):
             continue
         if node.op == "pick":
             key = ("pick", node.args[0], _limbs(node.bits))
+        elif node.op == "mulc":
+            # power-of-two constants lower to per-member shifts
+            # (shl_limbs_vec); keep them out of true-multiply groups
+            key = (
+                level[nid], "mulc", _is_pow2(node.const), _limbs(node.bits),
+                tuple(_limbs(tape.nodes[a].bits) for a in node.args),
+            )
         elif node.op in CONST_ARRAY_OPS:
             # const becomes a per-member static array (shift/mask/multiplier
             # /sub-lift/assume-width), so differently-parameterised nodes of
@@ -335,22 +346,33 @@ def build_evaluator_packed(
                 vals[nid] = d
             elif op == "mulc":
                 a = val(node.args[0])
-                Lc = _limbs(max(node.const.bit_length(), 1))
-                vals[nid] = K.mul_limbs(
-                    a, bconst(node.const, Lc), _limbs(node.bits)
-                )
+                if _is_pow2(node.const):
+                    # shift, not multiply: linear vs La*Lc MACs (the 2^(108i)
+                    # limb coefficients dominate witness tapes' mulc ops)
+                    vals[nid] = K.shl_limbs(
+                        a, node.const.bit_length() - 1, _limbs(node.bits)
+                    )
+                else:
+                    Lc = _limbs(max(node.const.bit_length(), 1))
+                    vals[nid] = K.mul_limbs(
+                        a, bconst(node.const, Lc), _limbs(node.bits)
+                    )
             elif op == "mul":
                 a, b = val(node.args[0]), val(node.args[1])
                 vals[nid] = K.mul_limbs(a, b, _limbs(node.bits))
             elif op == "mod":
                 a = val(node.args[0])
-                Lm = ff.n_limbs_for(node.const)
-                if nlimbs(a) <= 2 * Lm:
-                    f = K.make_field(node.const)
-                    r = K.barrett_reduce(f, K.pad_limbs(a, 2 * Lm))
-                else:
-                    spec = _mk_div_spec(node.const, nlimbs(a), lane_major)
-                    _, r = K.div_rem_by(spec, a)
+                # width-sized Barrett division: q/mu/product limb counts all
+                # scale with the ACTUAL input width (a 255-bit sum costs ~54
+                # MACs, not the ~550 of a full 2L-limb reduce padded to 512
+                # bits). Exact for any width; the fixed-width barrett_reduce
+                # is only kept in the ff kernels' own mul_mod compositions.
+                spec = _mk_div_spec(
+                    node.const,
+                    max(nlimbs(a), ff.n_limbs_for(node.const)),
+                    lane_major,
+                )
+                _, r = K.div_rem_by(spec, K.pad_limbs(a, spec.x_limbs))
                 vals[nid] = K.pad_limbs(r, _limbs(node.bits))
             elif op == "div":
                 a = val(node.args[0])
@@ -425,24 +447,31 @@ def build_evaluator_packed(
                 t = K.add_limbs(a, lifts, Lout)
                 out, _ = K.sub_limbs(t, b)
             elif op == "mulc":
-                Lc = max(
-                    _limbs(max(tape.nodes[n].const.bit_length(), 1)) for n in g
-                )
-                c = gconst(np.stack(
-                    [ff.int_to_limbs(tape.nodes[n].const, Lc) for n in g]
-                ))
-                out = K.mul_limbs(args[0], c, Lout)
+                if key[2]:  # all-power-of-two group: per-member shifts
+                    shifts = np.asarray(
+                        [tape.nodes[n].const.bit_length() - 1 for n in g]
+                    )
+                    out = K.shl_limbs_vec(args[0], shifts, Lout)
+                else:
+                    Lc = max(
+                        _limbs(max(tape.nodes[n].const.bit_length(), 1))
+                        for n in g
+                    )
+                    c = gconst(np.stack(
+                        [ff.int_to_limbs(tape.nodes[n].const, Lc) for n in g]
+                    ))
+                    out = K.mul_limbs(args[0], c, Lout)
             elif op == "mul":
                 out = K.mul_limbs(args[0], args[1], Lout)
             elif op == "mod":
                 a = args[0]
-                Lm = ff.n_limbs_for(node0.const)
-                if nlimbs(a) <= 2 * Lm:
-                    f = K.make_field(node0.const)
-                    r = K.barrett_reduce(f, K.pad_limbs(a, 2 * Lm))
-                else:
-                    spec = _mk_div_spec(node0.const, nlimbs(a), lane_major)
-                    _, r = K.div_rem_by(spec, a)
+                # width-sized Barrett division (see the scalar path)
+                spec = _mk_div_spec(
+                    node0.const,
+                    max(nlimbs(a), ff.n_limbs_for(node0.const)),
+                    lane_major,
+                )
+                _, r = K.div_rem_by(spec, K.pad_limbs(a, spec.x_limbs))
                 out = r
             elif op == "div":
                 a = args[0]

@@ -267,6 +267,34 @@ def mod_floor_limbs(x, k: int):
     return x[..., :k]
 
 
+def shl_limbs(x, s: int, out_len: int):
+    """Exact x << s (s a static bit count): limb relabeling + one in-limb
+    shift pair — linear cost, replaces mul_limbs against a power-of-two
+    constant (the 2^(108*i) limb coefficients that dominate witness tapes'
+    mulc population)."""
+    i0, r = divmod(s, LIMB_BITS)
+    if r:
+        hi = (x << np.uint32(r)) & LIMB_MASK
+        lo = x >> np.uint32(LIMB_BITS - r)
+        pad = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+        # out[j] = hi[j] | lo[j-1]; the two fields are bit-disjoint
+        y = hi | jnp.concatenate([pad, lo], axis=-1)[..., :-1]
+        carry = lo[..., -1:]  # top bits shifted out of the last limb
+        y = jnp.concatenate([y, carry], axis=-1)
+    else:
+        y = x
+    if i0:
+        y = jnp.concatenate(
+            [jnp.zeros(y.shape[:-1] + (i0,), y.dtype), y], axis=-1
+        )
+    cur = y.shape[-1]
+    if cur < out_len:
+        y = jnp.concatenate(
+            [y, jnp.zeros(y.shape[:-1] + (out_len - cur,), y.dtype)], axis=-1
+        )
+    return y[..., :out_len]
+
+
 # ---------------------------------------------------------------------------
 # MXU path for constant-operand multiplication (Barrett mu/p/w products)
 #
@@ -447,10 +475,14 @@ class DivSpec:
 def div_rem_by(spec: DivSpec, x):
     """Exact (q, r) with x = q*w + r, 0 <= r < w. x: [*, x_limbs].
 
-    The generalized Barrett estimate satisfies q-4 <= q_hat <= q (the three
-    floor losses contribute <= b^(k-1)/w + x/b^x_limbs + 1 + 1 < 4), so
-    r_hat = x - q_hat*w is non-negative and at most 4 conditional subtractions
-    of w make it canonical.
+    The generalized Barrett estimate satisfies q-2 <= q_hat <= q: with
+    b = 2^16, X = x_limbs, t = X-k+1, q_hat = floor(floor(x/b^(k-1)) *
+    floor(b^X/w) / b^t) >= x/w - x/b^X - b^(k-1)/w - 1 > x/w - 3 (using
+    x < b^X and w >= b^(k-1), which n_limbs_for guarantees), and the
+    floors only lower it, so q - q_hat <= 2. Hence r_hat = x - q_hat*w is
+    non-negative and exactly 2 conditional subtractions of w make it
+    canonical (brute-force checked for bn254/bls12-381 moduli across all
+    widths k..2k+5 in tests/test_ff_jax.py::test_div_rem_correction_bound).
     """
     k = n_limbs_for(spec.w)
     q1 = shift_right_limbs(x, k - 1)
@@ -467,7 +499,7 @@ def div_rem_by(spec: DivSpec, x):
     r, _ = sub_limbs(x_ext, qw)  # >= 0 since q_hat <= q
     w_ext = jnp.zeros_like(r).at[..., :k].set(spec.w_limbs_arr)
     one = jnp.zeros(q_hat.shape, dtype=jnp.uint32).at[..., 0].set(1)
-    for _ in range(4):  # fix undershoot (r >= w)
+    for _ in range(2):  # fix undershoot (r >= w); q - q_hat <= 2, see above
         d, borrow = sub_limbs(r, w_ext)
         qadd = add_limbs(q_hat, one, spec.q_limbs)
         take = borrow == 0
@@ -574,6 +606,18 @@ def extract_bit_slice_vec(x, starts: np.ndarray, out_limbs: int,
         )
         out = out & ((np.uint32(1) << rem.astype(np.uint32)) - 1)
     return out
+
+
+def shl_limbs_vec(x, shifts: np.ndarray, out_limbs: int):
+    """Per-slot x[..., g, :] << shifts[g] (static shifts) of a [B, G, L]
+    limb tensor, as one extract over a zero-prepadded copy: padded = x*b^Z,
+    then bits [16Z - s_g, ...) — linear cost, the grouped form of
+    shl_limbs for power-of-two mulc groups."""
+    shifts = np.asarray(shifts, dtype=np.int64)
+    Z = int(shifts.max()) // LIMB_BITS + 1
+    pad = jnp.zeros(x.shape[:-1] + (Z,), x.dtype)
+    padded = jnp.concatenate([pad, x], axis=-1)
+    return extract_bit_slice_vec(padded, LIMB_BITS * Z - shifts, out_limbs)
 
 
 def extract_chunks(x, chunk_bits: int, count: int):

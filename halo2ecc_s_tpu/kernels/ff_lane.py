@@ -220,6 +220,36 @@ def mod_floor_limbs(x, k: int):
     return x[..., :k, :]
 
 
+def shl_limbs(x, s: int, out_len: int):
+    """Exact x << s, lane-major mirror of ff_jax.shl_limbs (limb axis -2):
+    limb relabeling + one in-limb shift pair, linear cost."""
+    i0, r = divmod(s, LIMB_BITS)
+    if r:
+        hi = (x << np.uint32(r)) & LIMB_MASK
+        lo = x >> np.uint32(LIMB_BITS - r)
+        y = hi | _shift_up_one(lo)
+        carry = lo[..., -1:, :]
+        y = jnp.concatenate([y, carry], axis=-2)
+    else:
+        y = x
+    if i0:
+        y = jnp.concatenate(
+            [jnp.zeros(y.shape[:-2] + (i0,) + y.shape[-1:], y.dtype), y],
+            axis=-2,
+        )
+    return pad_limbs(y, out_len)
+
+
+def shl_limbs_vec(x, shifts: np.ndarray, out_limbs: int):
+    """Per-slot x[..., g, :, :] << shifts[g] of a [G, L, B] tensor (lane-
+    major mirror of ff_jax.shl_limbs_vec)."""
+    shifts = np.asarray(shifts, dtype=np.int64)
+    Z = int(shifts.max()) // LIMB_BITS + 1
+    pad = jnp.zeros(x.shape[:-2] + (Z,) + x.shape[-1:], x.dtype)
+    padded = jnp.concatenate([pad, x], axis=-2)
+    return extract_bit_slice_vec(padded, LIMB_BITS * Z - shifts, out_limbs)
+
+
 @dataclass(frozen=True)
 class FieldSpec:
     p: int
@@ -353,7 +383,8 @@ class DivSpec:
 
 
 def div_rem_by(spec: DivSpec, x):
-    """Exact (q, r) with x = q*w + r (lane-major mirror of ff_jax)."""
+    """Exact (q, r) with x = q*w + r (lane-major mirror of ff_jax;
+    q - q_hat <= 2 proof in ff_jax.div_rem_by)."""
     k = ff.n_limbs_for(spec.w)
     q1 = shift_right_limbs(x, k - 1)
     q2 = mul_limbs(q1, spec.mu)
@@ -363,7 +394,7 @@ def div_rem_by(spec: DivSpec, x):
     r, _ = sub_limbs(x_ext, qw)
     w_ext = pad_limbs(spec.w_limbs_arr, r.shape[-2])
     one = jnp.zeros(q_hat.shape, dtype=jnp.uint32).at[..., 0, :].set(1)
-    for _ in range(4):
+    for _ in range(2):
         d, borrow = sub_limbs(r, w_ext)
         qadd = add_limbs(q_hat, one, spec.q_limbs)
         take = borrow == 0

@@ -15,6 +15,15 @@ pure compute + XLA partitioning overhead.
 
 Run: python scripts/scaling_cpu.py          (takes a few minutes; 4-core box)
 Prints one JSON line per device count, then a markdown table for BASELINE.md.
+
+MSM-pipeline mode (python scripts/scaling_cpu.py msm): scales the full
+mesh-sharded MSM build (BatchMsm.build(mesh=...) — candidate replication,
+GSPMD-sharded phase emitters over points/groups/windows, EC window-
+accumulator all-gather; the communication pattern the north-star scaling
+metric is about) at 1/2/4 devices == pinned cores. Times the WARM build
+(cold build compiles + caches templates first), so the number includes the
+pipeline's host-side layout bookkeeping — an end-to-end build-latency
+scaling measurement, not a pure device-compute one.
 """
 
 import json
@@ -79,9 +88,53 @@ def child(n_devices: int) -> None:
     }))
 
 
-def main() -> None:
+def child_msm(n_devices: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    # serialize dispatches: lazy compiles concurrent with in-flight CPU
+    # collectives abort on XLA's rendezvous timeout (see batch/template.py)
+    os.environ.setdefault("HALO2ECC_TPU_SYNC_DISPATCH", "1")
+
+    from halo2ecc_s_tpu.batch.msm_batch import BatchMsm
+    from halo2ecc_s_tpu.models.msm import random_msm_instance
+    from halo2ecc_s_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == n_devices, (len(jax.devices()), n_devices)
+    n_pts = int(os.environ.get("SCALING_MSM_POINTS", 10))
+    warm_iters = int(os.environ.get("SCALING_MSM_ITERS", 2))
+
+    points, scalars, _ = random_msm_instance(n_pts, seed=5)
+    bm = BatchMsm()
+    mesh = make_mesh(n_devices, axis="shard")
+
+    t0 = time.perf_counter()
+    bm.build(points, scalars, seed=77, mesh=mesh, write_tables=False)
+    cold = time.perf_counter() - t0
+    best = float("inf")
+    for i in range(warm_iters):
+        t0 = time.perf_counter()
+        ecc, _ = bm.build(points, scalars, seed=78 + i, mesh=mesh,
+                          write_tables=False)
+        best = min(best, time.perf_counter() - t0)
+    rows = sum(ecc.ctx.offsets())
+    print(json.dumps({
+        "devices": n_devices,
+        "rows_per_sec": round(rows / best, 1),
+        "build_secs": round(best, 2),
+        "cold_secs": round(cold, 1),
+        "points": n_pts,
+        "rows_per_build": rows,
+    }))
+
+
+def main(mode: str = "template") -> None:
     results = []
+    sub = "child_msm" if mode == "msm" else "child"
     for n in (1, 2, 4, 8):
+        if mode == "msm" and n > N_CORES:
+            continue
         cores = min(n, N_CORES)
         env = dict(os.environ)
         env["XLA_FLAGS"] = (
@@ -90,7 +143,7 @@ def main() -> None:
         )
         cmd = [
             "taskset", "-c", f"0-{cores - 1}",
-            sys.executable, os.path.abspath(__file__), "child", str(n),
+            sys.executable, os.path.abspath(__file__), sub, str(n),
         ]
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, cwd=REPO
@@ -121,5 +174,9 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "child":
         child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "child_msm":
+        child_msm(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "msm":
+        main("msm")
     else:
         main()

@@ -240,3 +240,35 @@ def test_mul_limbs_backend_forms_bit_exact(monkeypatch):
         for i in range(9):
             want = (a_i[i] * b_i[i]) % (1 << (16 * out_len))
             assert ff.limbs_to_int(skew[i]) == want
+
+
+def test_div_rem_correction_bound():
+    """The generalized Barrett quotient estimate in div_rem_by undershoots
+    by at most 2 (docstring proof), so its 2 correction rounds are always
+    enough. Brute-forced here in exact ints over every production modulus
+    and input width, with adversarial near-boundary inputs."""
+    import random
+
+    from halo2ecc_s_tpu.utils.fields import (
+        BLS12_381_FQ, BLS12_381_FR, BN254_FQ, BN254_FR,
+    )
+
+    rng = random.Random(7)
+    for w in (BN254_FR, BN254_FQ, BLS12_381_FR, BLS12_381_FQ):
+        k = ff.n_limbs_for(w)
+        assert w >= 1 << (16 * (k - 1))  # proof precondition
+        for x_limbs in range(k, 2 * k + 6):
+            mu = (1 << (16 * x_limbs)) // w
+            t = x_limbs - k + 1
+            cases = [(1 << (16 * x_limbs)) - 1, w - 1, w, w + 1]
+            for _ in range(500):
+                cases.append(rng.randrange(1 << (16 * x_limbs)))
+            for _ in range(300):
+                q = rng.randrange(1 << (16 * (x_limbs - k + 1)))
+                x = q * w + w - 1 - rng.randrange(1 << 16)
+                if 0 <= x < (1 << (16 * x_limbs)):
+                    cases.append(x)
+            for x in cases:
+                q_hat = ((x >> (16 * (k - 1))) * mu) >> (16 * t)
+                err = x // w - q_hat
+                assert 0 <= err <= 2, (hex(w)[:12], x_limbs, err)

@@ -146,3 +146,39 @@ def test_lane_major_emitter_bit_exact_with_batch_major(monkeypatch):
         np.testing.assert_array_equal(np.asarray(outs_b[k]), np.asarray(outs_l[k]))
     for k in flags_b:
         assert bool(flags_b[k]) == bool(flags_l[k])
+
+
+def test_shl_limbs_bit_exact_vs_int():
+    """shl_limbs (both layouts) == integer x << s, for shifts spanning
+    in-limb, limb-aligned, and multi-limb offsets (the 2^(108i) mulc
+    coefficients use s in {108, 216})."""
+    for L, s, out in (
+        (16, 1, 17), (16, 16, 18), (16, 108, 23), (7, 108, 14),
+        (7, 216, 21), (3, 108, 10), (16, 0, 16), (5, 31, 8), (4, 108, 6),
+    ):
+        a = _rand_limbs(L)
+        want_ints = [
+            (int(sum(int(v) << (16 * i) for i, v in enumerate(row))) << s)
+            & ((1 << (16 * out)) - 1)
+            for row in a
+        ]
+        got = np.asarray(jax.jit(lambda v: ff.shl_limbs(v, s, out))(a))
+        got_l = np.asarray(jax.jit(lambda v: fl.shl_limbs(v, s, out))(_t(a)))
+        np.testing.assert_array_equal(_t(got_l), got)
+        for row, w in zip(got, want_ints):
+            assert sum(int(v) << (16 * i) for i, v in enumerate(row)) == w
+
+
+def test_shl_limbs_vec_matches_scalar():
+    G, L, out = 6, 7, 21
+    shifts = np.asarray([1, 16, 108, 216, 0, 31])
+    x = RNG.integers(0, 1 << 16, (B, G, L), dtype=np.int64).astype(np.uint32)
+    got = np.asarray(jax.jit(lambda v: ff.shl_limbs_vec(v, shifts, out))(x))
+    xl = np.ascontiguousarray(np.moveaxis(x, 0, -1))  # [G, L, B]
+    got_l = np.asarray(jax.jit(lambda v: fl.shl_limbs_vec(v, shifts, out))(xl))
+    np.testing.assert_array_equal(np.moveaxis(got_l, -1, 0), got)
+    for g in range(G):
+        want = np.asarray(
+            jax.jit(lambda v: ff.shl_limbs(v, int(shifts[g]), out))(x[:, g])
+        )
+        np.testing.assert_array_equal(got[:, g], want)
