@@ -52,12 +52,32 @@ class BG1:
 class BatchedPairingOps(TowerOps, PairingOps):
     """Tower + pairing ops over batched values (B lanes)."""
 
-    def __init__(self, ctx: Context, curve: PairingCurve, B: int):
+    def __init__(self, ctx: Context, curve: PairingCurve, B: int,
+                 device: bool = False):
+        """device=True runs every op's witness emission device-resident: each
+        template's slabs are queued (template.py deferred mode) and output
+        leaves carry device arrays, so the whole op stream — thousands of
+        dispatches for a pairing — pipelines through JAX async dispatch with
+        NO host sync per op (critical on a remote-attached TPU, where each
+        sync costs a tunnel round trip). Call drain() after the last op to
+        check divergence flags and (optionally) write the host Records;
+        Records are then bit-exact with device=False."""
         self.ctx = ctx
         self.curve = curve
         self.B = B
         self.info = range_info(curve.p, ctx.n)
         self._tmpl: Dict[object, Template] = {}
+        self.deferred = [] if device else None
+
+    def drain(self, write: bool = True) -> None:
+        """Drain the device pipeline (device=True): one stacked fetch checks
+        every op's divergence/width flags (UnsafeError retry protocol), then
+        the advice slabs are written to the host Records (write=False keeps
+        them in HBM — serving mode)."""
+        if self.deferred:
+            from .template import finalize_deferred
+
+            finalize_deferred(self.deferred, write=write)
 
     @property
     def pairing_curve(self) -> PairingCurve:
@@ -71,10 +91,16 @@ class BatchedPairingOps(TowerOps, PairingOps):
     # template plumbing
     # ------------------------------------------------------------------
 
-    def _int_template(self, key, samples: Dict[str, object], build_body):
-        """samples: name -> AssignedInteger (lane 0); build_body(ictx, ints)."""
+    def _int_template(self, key, samples, build_body):
+        """samples: dict name -> AssignedInteger (lane 0), or a zero-arg
+        callable returning it — callables are only invoked on a cache miss,
+        so device-mode ops don't pay a lane-0 device fetch per cache HIT
+        (in the op-granular pipeline that would be one tunnel round trip per
+        op, exactly what device mode exists to avoid)."""
         if key in self._tmpl:
             return self._tmpl[key]
+        if callable(samples):
+            samples = samples()
         lb, lead = self._limb_params()
         w = self.curve.p
         n_limbs = self.info.limbs
@@ -100,7 +126,8 @@ class BatchedPairingOps(TowerOps, PairingOps):
         rows: Dict[str, object] = dict(extra_rows or {})
         for name, b in operands.items():
             int_arrays(name, b, ins, rows)
-        return tmpl.instantiate(self.ctx, ins, assigned_rows=rows)
+        return tmpl.instantiate(self.ctx, ins, assigned_rows=rows,
+                                deferred=self.deferred)
 
     # Every op result is normalised back to times == 1 (an eager `reduce`
     # inside the same template). The scalar path's lazy-reduction times
@@ -117,7 +144,9 @@ class BatchedPairingOps(TowerOps, PairingOps):
             out = getattr(ictx, opname)(ints["a"], ints["b"])
             return ictx.reduce(out)
 
-        tmpl = self._int_template(key, {"a": a.lane(0), "b": b.lane(0)}, body)
+        tmpl = self._int_template(
+            key, lambda: {"a": a.lane(0), "b": b.lane(0)}, body
+        )
         return BInt.from_tree(self._run(tmpl, {"a": a, "b": b}))
 
     def _unop(self, opname: str, a: BInt) -> BInt:
@@ -127,7 +156,7 @@ class BatchedPairingOps(TowerOps, PairingOps):
             out = getattr(ictx, opname)(ints["a"])
             return ictx.reduce(out)
 
-        tmpl = self._int_template(key, {"a": a.lane(0)}, body)
+        tmpl = self._int_template(key, lambda: {"a": a.lane(0)}, body)
         return BInt.from_tree(self._run(tmpl, {"a": a}))
 
     # ------------------------------------------------------------------
@@ -168,13 +197,13 @@ class BatchedPairingOps(TowerOps, PairingOps):
     def _instantiate_const(self, tmpl: Template):
         # no symbolic inputs: synthesise the batch dimension explicitly
         probe_ins = {"__lanes__": np.zeros((self.B, 1), dtype=np.uint32)}
-        return tmpl.instantiate(self.ctx, probe_ins)
+        return tmpl.instantiate(self.ctx, probe_ins, deferred=self.deferred)
 
     def assert_int_equal(self, a: BInt, b: BInt) -> None:
         key = ("assert_int_equal", a.times, b.times)
         tmpl = self._int_template(
             key,
-            {"a": a.lane(0), "b": b.lane(0)},
+            lambda: {"a": a.lane(0), "b": b.lane(0)},
             lambda ictx, ints, c, ins: (ictx.assert_int_equal(ints["a"], ints["b"]), None)[1],
         )
         self._run(tmpl, {"a": a, "b": b})
@@ -194,7 +223,8 @@ class BatchedPairingOps(TowerOps, PairingOps):
             )
         tmpl = self._tmpl[key]
         tmpl.instantiate(
-            self.ctx, {"c": leaf_vals(cond)}, assigned_rows={"c": leaf_rows(cond)}
+            self.ctx, {"c": leaf_vals(cond)}, assigned_rows={"c": leaf_rows(cond)},
+            deferred=self.deferred,
         )
 
     # ------------------------------------------------------------------
@@ -222,6 +252,7 @@ class BatchedPairingOps(TowerOps, PairingOps):
         out = tmpl.instantiate(
             self.ctx,
             {"x": ff.ints_to_limbs(xs, Lw), "y": ff.ints_to_limbs(ys, Lw)},
+            deferred=self.deferred,
         )
         return BG1(BInt.from_tree(out["x"]), BInt.from_tree(out["y"]), out["z"])
 
@@ -254,6 +285,7 @@ class BatchedPairingOps(TowerOps, PairingOps):
                 "y0": ff.ints_to_limbs([p[1][0] for p in g2_points], Lw),
                 "y1": ff.ints_to_limbs([p[1][1] for p in g2_points], Lw),
             },
+            deferred=self.deferred,
         )
         x = (BInt.from_tree(out["x"][0]), BInt.from_tree(out["x"][1]))
         y = (BInt.from_tree(out["y"][0]), BInt.from_tree(out["y"][1]))

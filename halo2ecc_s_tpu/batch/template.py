@@ -924,11 +924,22 @@ def finalize_deferred(deferred: list, write: bool = True) -> None:
         return
     import jax.numpy as jnp
 
-    div = np.asarray(jnp.stack([d.flags["diverged"] for d in deferred]))
-    wid = np.asarray(jnp.stack([d.flags["width_bad"] for d in deferred]))
-    if div.any():
+    # stack flags in bounded chunks: op-granular pipelines (batched pairing)
+    # queue tens of thousands of entries, and a single jnp.stack with that
+    # many operands is its own pathological XLA compile
+    CHUNK = 512
+    div = wid = False
+    for lo in range(0, len(deferred), CHUNK):
+        part = deferred[lo : lo + CHUNK]
+        div = div or bool(
+            np.asarray(jnp.stack([d.flags["diverged"] for d in part])).any()
+        )
+        wid = wid or bool(
+            np.asarray(jnp.stack([d.flags["width_bad"] for d in part])).any()
+        )
+    if div:
         raise UnsafeError("lane diverged from traced control flow")
-    if wid.any():
+    if wid:
         raise ValueError(
             "assume_bits violated on a lane: input invariants do not hold"
         )

@@ -120,3 +120,41 @@ def test_batched_doubling_step_and_ell_matches_host():
         assert bops.fq12_values(f, lane) == hf
 
     run_circuit(ctx, 22)
+
+
+def test_batched_ops_device_mode_bit_exact():
+    """device=True (deferred slabs, async-pipelined dispatches, one drain)
+    must produce Records bit-exact with the eager host path — the serving
+    shape for TPU pairing aggregation (scripts/pairing_tpu_bench.py)."""
+    import numpy as np
+
+    B = 2
+    g1 = G1(CURVE)
+    pts_a = [g1.random(RNG) for _ in range(B)]
+    pts_b = [g1.random(RNG) for _ in range(B)]
+
+    def build(device):
+        ctx = Context()
+        bops = BatchedPairingOps(ctx, CURVE, B, device=device)
+        pa = bops.assign_g1([p[0] for p in pts_a], [p[1] for p in pts_a])
+        pb = bops.assign_g1([p[0] for p in pts_b], [p[1] for p in pts_b])
+        a2, b2 = (pa.x, pa.y), (pb.x, pb.y)
+        prod = bops.fq2_mul(a2, b2)
+        sq = bops.fq2_square(bops.fq2_add(a2, b2))
+        inv = bops.fq2_unsafe_invert(a2)
+        bops.drain()
+        return ctx
+
+    ctx_h = build(False)
+    ctx_d = build(True)
+    for th, td in (
+        (ctx_h.records.base, ctx_d.records.base),
+        (ctx_h.records.range, ctx_d.records.range),
+        (ctx_h.records.select, ctx_d.records.select),
+    ):
+        assert th.height == td.height
+        h = th.height
+        np.testing.assert_array_equal(th.adv_vals[:h], td.adv_vals[:h])
+        np.testing.assert_array_equal(th.adv_set[:h], td.adv_set[:h])
+        np.testing.assert_array_equal(th.fix_vals[:h], td.fix_vals[:h])
+    run_circuit(ctx_d, 21)
