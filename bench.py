@@ -335,6 +335,21 @@ def main():
         result["device_only_vs_baseline"] = round(
             dev_rows_per_sec / REFERENCE_ROWS_PER_SEC, 3
         )
+        # roofline: bytes of advice slab materialised in HBM per row (packed
+        # 16-bit limb pairs, 32 B/cell) vs the v5e's ~819 GB/s HBM write
+        # bandwidth ceiling. The workload is far from memory-bound — this
+        # records how far (see BASELINE.md "Roofline").
+        HBM_GBPS = 819.0
+        n_adv = {0: 5, 1: 3, 2: 2}
+        slab_bytes = sum(
+            s * n_adv[r] * 8 * 4 for r, s in enumerate(tmpl.strides)
+        )
+        bytes_per_row = slab_bytes / rows_per_instance
+        gbps = dev_rows_per_sec * bytes_per_row / 1e9
+        result["slab_bytes_per_row"] = round(bytes_per_row, 1)
+        result["device_hbm_write_gbps"] = round(gbps, 2)
+        result["pct_of_hbm_sol"] = round(100 * gbps / HBM_GBPS, 2)
+        result["memory_sol_rows_per_sec"] = round(HBM_GBPS * 1e9 / bytes_per_row, 0)
     # land the headline NOW — a sub-bench overrun must not take it down
     print(json.dumps(result), flush=True)
 

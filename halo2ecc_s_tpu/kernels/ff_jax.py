@@ -424,18 +424,34 @@ def mul_mod(f: FieldSpec, a, b):
 
 
 def pow_mod(f: FieldSpec, a, e: int):
-    """a^e for a static exponent via scan (MSB-first square-and-multiply)."""
-    bits = [int(b) for b in bin(e)[2:]]
-    bits_arr = jnp.asarray(np.array(bits, dtype=np.uint32))
+    """a^e for a static exponent: MSB-first 4-bit fixed-window scan.
+
+    vs the per-bit square-and-multiply-and-select (a full mul_mod EVERY bit,
+    discarded on 0 bits — ~254 sq + 254 mul for a Fermat inverse), the
+    windowed form does ceil(|e|/4) iterations of 4 squarings + ONE table
+    multiply (+ 14 precompute muls): ~256 sq + 64 + 14 mul — ~1.5x fewer
+    modmuls on the witness pipeline's inversion nodes (EC-addition slopes,
+    unsafe inverts)."""
     one = jnp.zeros(a.shape, dtype=jnp.uint32).at[..., 0].set(1)
+    if e == 0:
+        return one
+    W = 4
+    nd = (e.bit_length() + W - 1) // W
+    digits = jnp.asarray(
+        np.array([(e >> (W * (nd - 1 - i))) & 15 for i in range(nd)],
+                 dtype=np.int32)
+    )
+    pows = [one, a]
+    for _ in range(2, 1 << W):
+        pows.append(mul_mod(f, pows[-1], a))
+    table = jnp.stack(pows)  # [16, ..., L]
 
-    def body(acc, bit):
-        acc = mul_mod(f, acc, acc)
-        mult = mul_mod(f, acc, a)
-        acc = select_limbs(jnp.broadcast_to(bit, acc.shape[:-1]) == 1, mult, acc)
-        return acc, None
+    def body(acc, d):
+        for _ in range(W):
+            acc = mul_mod(f, acc, acc)
+        return mul_mod(f, acc, table[d]), None
 
-    acc, _ = jax.lax.scan(body, one, bits_arr)
+    acc, _ = jax.lax.scan(body, one, digits)
     return acc
 
 

@@ -347,18 +347,29 @@ def mul_mod(f: FieldSpec, a, b):
 
 
 def pow_mod(f: FieldSpec, a, e: int):
-    """a^e for a static exponent (MSB-first square-and-multiply scan)."""
-    bits_arr = jnp.asarray(np.array([int(b) for b in bin(e)[2:]], dtype=np.uint32))
+    """a^e for a static exponent: MSB-first 4-bit fixed-window scan
+    (lane-major mirror of ff_jax.pow_mod — ~1.5x fewer modmuls than the
+    per-bit multiply-and-select form)."""
     one = jnp.zeros(a.shape, dtype=jnp.uint32).at[..., 0, :].set(1)
+    if e == 0:
+        return one
+    W = 4
+    nd = (e.bit_length() + W - 1) // W
+    digits = jnp.asarray(
+        np.array([(e >> (W * (nd - 1 - i))) & 15 for i in range(nd)],
+                 dtype=np.int32)
+    )
+    pows = [one, a]
+    for _ in range(2, 1 << W):
+        pows.append(mul_mod(f, pows[-1], a))
+    table = jnp.stack(pows)  # [16, ..., L, B]
 
-    def body(acc, bit):
-        acc = mul_mod(f, acc, acc)
-        mult = mul_mod(f, acc, a)
-        cond = jnp.broadcast_to(bit, acc.shape[:-2] + acc.shape[-1:]) == 1
-        acc = select_limbs(cond, mult, acc)
-        return acc, None
+    def body(acc, d):
+        for _ in range(W):
+            acc = mul_mod(f, acc, acc)
+        return mul_mod(f, acc, table[d]), None
 
-    acc, _ = jax.lax.scan(body, one, bits_arr)
+    acc, _ = jax.lax.scan(body, one, digits)
     return acc
 
 

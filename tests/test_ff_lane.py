@@ -182,3 +182,19 @@ def test_shl_limbs_vec_matches_scalar():
             jax.jit(lambda v: ff.shl_limbs(v, int(shifts[g]), out))(x[:, g])
         )
         np.testing.assert_array_equal(got[:, g], want)
+
+
+def test_pow_mod_windowed_matches_python_pow():
+    """4-bit-window pow_mod (both layouts) == python pow, across exponent
+    shapes incl. Fermat (p-2), small, zero, and window-boundary values."""
+    f = ff.make_field(BN254_FQ)
+    flane = fl.make_field(BN254_FQ)
+    vals = [1, 2, BN254_FQ - 1, 0x1234567890ABCDEF, 3**50 % BN254_FQ]
+    a = np.stack([np.asarray(ff.int_to_limbs(v, f.L)) for v in vals])
+    for e in (0, 1, 2, 15, 16, 17, 255, 1 << 63, BN254_FQ - 2):
+        got = np.asarray(jax.jit(lambda v: ff.pow_mod(f, v, e))(a))
+        got_l = np.asarray(jax.jit(lambda v: fl.pow_mod(flane, v, e))(_t(a)))
+        np.testing.assert_array_equal(_t(got_l), got)
+        for i, v in enumerate(vals):
+            want = pow(v, e, BN254_FQ)
+            assert ff.limbs_to_int(got[i]) == want, (e, v)
