@@ -36,15 +36,18 @@ native/baseline_proxy.cpp -lpthread && native/build/baseline_proxy 100000 4
 
 Output contract: the headline JSON line is printed to stdout as soon as the
 headline measurement lands (so a later timeout cannot take the scoreboard
-down with it); the optional MSM/keccak sub-benches then run under an explicit
-wall-clock budget (BENCH_BUDGET seconds, default 360) and, if any of them
-completed, ONE final JSON line with the full result set is printed last.
-Parsers taking the last JSON line get the most complete result; parsers
-taking the first still get the headline.
+down with it); the optional MSM/keccak sub-benches then run in SUBPROCESSES
+with hard kill timeouts (`python bench.py --sub msm|keccak`), bounded by the
+wall-clock budget (BENCH_BUDGET seconds, default 360). A hung or slow
+sub-bench is killed and skipped — the parent always exits 0. If any
+sub-bench completed, ONE final JSON line with the full result set is printed
+last. Parsers taking the last JSON line get the most complete result;
+parsers taking the first still get the headline.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -62,18 +65,23 @@ def _remaining(deadline):
     return deadline - time.perf_counter()
 
 
-def bench_msm(n_points: int, iters: int, n_inst: int, deadline: float):
+def bench_msm():
     """Batched MSM witness generation, device-resident pipeline (the
-    flagship workload: ecc_chip.rs:223-371). n_inst > 1 witnesses that many
-    independent MSMs per pipeline run (proof-batching serving shape): every
-    phase's lane axis carries instance x own-axis, so fixed per-dispatch
-    launch costs amortise across instances. End-to-end per build: host
-    layout + jitted per-phase value/slab emitters chained on device + one
-    fetch into Records + scalar final accumulation. Returns
-    (points_per_sec, rows_per_sec, total_rows, iters_run) or None if the
-    wall-clock budget ran out before a timed build completed."""
+    flagship workload: ecc_chip.rs:223-371). Runs in a subprocess under a
+    hard kill timeout (see run_sub); a RESULT line is printed as soon as the
+    first timed build lands so even a later kill keeps the measurement.
+    End-to-end per build: host layout + jitted per-phase value/slab emitters
+    chained on device + one fetch into Records + scalar final accumulation.
+    BENCH_MSM_INSTANCES > 1 witnesses that many independent MSMs per
+    pipeline run (proof-batching serving shape): every phase's lane axis
+    carries instance x own-axis, so fixed per-dispatch launch costs amortise
+    across instances."""
     from halo2ecc_s_tpu.batch.msm_batch import BatchMsm
     from halo2ecc_s_tpu.models.msm import random_msm_instance
+
+    n_points = int(os.environ.get("BENCH_MSM_POINTS", 100))
+    iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
+    n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 1))
 
     instances = [
         random_msm_instance(n_points, seed=11 + i)[:2] for i in range(n_inst)
@@ -90,51 +98,51 @@ def bench_msm(n_points: int, iters: int, n_inst: int, deadline: float):
             instances, seed=seed, device=True, write_tables=False
         )
 
-    # warmup: template traces + jit compiles (persistent-cached)
+    # warmup: template traces + jit compiles (persistent-cached). Bounded by
+    # the parent's kill timeout, not by a cooperative check.
     t0 = time.perf_counter()
     ecc, _res = run(1)
     warm_secs = time.perf_counter() - t0
     total_rows = sum(ecc.ctx.offsets())
     print(f"# msm warmup build: {warm_secs:.1f}s, {total_rows} rows", file=sys.stderr)
 
-    # budget: a warm build costs <= the warmup build; only run iterations
-    # that fit before the deadline
     t0 = time.perf_counter()
-    done = 0
     for i in range(iters):
-        if done > 0 and _remaining(deadline) < (time.perf_counter() - t0) / done:
-            print(f"# msm budget: stopping after {done}/{iters} iters", file=sys.stderr)
-            break
-        if done == 0 and _remaining(deadline) < warm_secs * 0.5:
-            print("# msm budget: no time for a timed build", file=sys.stderr)
-            return None
         run(i + 2)
-        done += 1
-    if done == 0:
-        return None
-    dt = time.perf_counter() - t0
-    pts_per_sec = n_points * n_inst * done / dt
-    rows_per_sec = total_rows * done / dt
+        dt = time.perf_counter() - t0
+        done = i + 1
+        result = {
+            "msm_points_per_sec": round(n_points * n_inst * done / dt, 1),
+            "msm_points": n_points,
+            "msm_instances": n_inst,
+            "msm_iters": done,
+            "msm_rows_per_build": total_rows,
+            "msm_rows_per_sec": round(total_rows * done / dt, 1),
+            "msm_warmup_secs": round(warm_secs, 1),
+        }
+        # land after EVERY timed build: a kill mid-loop keeps the best-so-far
+        print("##RESULT## " + json.dumps(result), flush=True)
     print(
-        f"# msm witness gen: {pts_per_sec:.1f} points/s, "
-        f"{rows_per_sec/1e6:.1f}M rows/s; n={n_points} x {n_inst} instances "
-        f"iters={done} rows/build={total_rows} (advice slabs "
-        f"device-resident in HBM; safety flags + chained outputs fetched; "
-        f"Records host writes skipped — verified end-to-end by "
+        f"# msm witness gen: {result['msm_points_per_sec']} points/s, "
+        f"{result['msm_rows_per_sec']/1e6:.1f}M rows/s; n={n_points} x "
+        f"{n_inst} instances iters={done} rows/build={total_rows} (advice "
+        f"slabs device-resident in HBM; safety flags + chained outputs "
+        f"fetched; Records host writes skipped — verified end-to-end by "
         f"tests/test_msm_batch.py)",
         file=sys.stderr,
     )
-    return pts_per_sec, rows_per_sec, total_rows, done
 
 
-def bench_keccak(B: int, iters: int, deadline: float):
+def bench_keccak():
     """Batched keccak256 witness generation (keccak_chip.rs:61-165), serving
     mode: B lanes of decompose/absorb/24 rounds/compose templates chained as
     device tensors, advice slabs resident in HBM (write_tables=False).
-    Returns (hashes_per_sec, rows_per_sec, rows_per_build) or None."""
+    Subprocess mode — see bench_msm."""
     from halo2ecc_s_tpu.batch.keccak_batch import BatchKeccak
     from halo2ecc_s_tpu.utils.fields import BN254_FR
 
+    B = int(os.environ.get("BENCH_KECCAK_BATCH", 128))
+    iters = int(os.environ.get("BENCH_KECCAK_ITERS", 2))
     bk = BatchKeccak()
 
     def run(seed):
@@ -151,29 +159,56 @@ def bench_keccak(B: int, iters: int, deadline: float):
     rows = sum(ctx.offsets())
     print(f"# keccak warmup build: {warm:.1f}s, {rows} rows", file=sys.stderr)
 
-    if _remaining(deadline) < warm * 0.5:
-        print("# keccak budget: no time for a timed build", file=sys.stderr)
-        return None
     t0 = time.perf_counter()
-    done = 0
     for i in range(iters):
-        if done > 0 and _remaining(deadline) < (time.perf_counter() - t0) / done:
-            print(f"# keccak budget: stopping after {done}/{iters} iters", file=sys.stderr)
-            break
         run(1000 * (i + 1))
-        done += 1
-    if done == 0:
-        return None
-    dt = time.perf_counter() - t0
-    hps = B * done / dt
-    rps = rows * done / dt
+        dt = time.perf_counter() - t0
+        done = i + 1
+        result = {
+            "keccak_hashes_per_sec": round(B * done / dt, 1),
+            "keccak_batch": B,
+            "keccak_rows_per_build": rows,
+            "keccak_rows_per_sec": round(rows * done / dt, 1),
+            "keccak_warmup_secs": round(warm, 1),
+        }
+        print("##RESULT## " + json.dumps(result), flush=True)
     print(
-        f"# keccak witness gen: {hps:.1f} hashes/s, {rps/1e6:.1f}M rows/s; "
-        f"B={B} iters={done} rows/build={rows} (serving mode; verified "
-        f"end-to-end by tests/test_keccak_batch.py)",
+        f"# keccak witness gen: {result['keccak_hashes_per_sec']} hashes/s, "
+        f"{result['keccak_rows_per_sec']/1e6:.1f}M rows/s; B={B} "
+        f"iters={done} rows/build={rows} (serving mode; verified end-to-end "
+        f"by tests/test_keccak_batch.py)",
         file=sys.stderr,
     )
-    return hps, rps, rows
+
+
+def run_sub(name: str, timeout: float):
+    """Run `python bench.py --sub NAME` under a hard kill timeout; return the
+    last ##RESULT## dict (or None). stderr is inherited so progress lines
+    land in the driver tail; a timeout kills the child and keeps any RESULT
+    lines it managed to print."""
+    print(f"# sub-bench {name}: timeout {timeout:.0f}s", file=sys.stderr)
+    out = b""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sub", name],
+            stdout=subprocess.PIPE, stderr=None, timeout=timeout,
+        )
+        out = proc.stdout or b""
+        if proc.returncode != 0:
+            print(f"# sub-bench {name}: rc={proc.returncode}", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        print(f"# sub-bench {name}: killed at {timeout:.0f}s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# sub-bench {name}: failed: {e!r}", file=sys.stderr)
+    last = None
+    for line in out.decode(errors="replace").splitlines():
+        if line.startswith("##RESULT## "):
+            try:
+                last = json.loads(line[len("##RESULT## "):])
+            except json.JSONDecodeError:
+                pass
+    return last
 
 
 def main():
@@ -353,52 +388,41 @@ def main():
     # land the headline NOW — a sub-bench overrun must not take it down
     print(json.dumps(result), flush=True)
 
+    # Sub-benches in subprocesses with hard kill timeouts: the budget check
+    # happens BEFORE the warmup (which runs inside the child and is bounded
+    # by the kill, not by cooperation), so a cold-cache warmup can never run
+    # the parent past the driver's wall clock (BENCH_r02/r03 rc=124 mode).
     updated = False
-    if not os.environ.get("BENCH_SKIP_MSM") and _remaining(deadline) > 30:
-        try:
-            n_msm = int(os.environ.get("BENCH_MSM_POINTS", 500))
-            msm_iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
-            # 4 x 500-pt instances keep the resident packed advice slabs
-            # (~4 GB) comfortably inside one v5e's 16 GB HBM
-            n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 4))
-            r = bench_msm(n_msm, msm_iters, n_inst, deadline)
-            if r is not None:
-                pts_s, msm_rows_s, msm_rows, msm_done = r
-                result.update({
-                    "msm_points_per_sec": round(pts_s, 1),
-                    "msm_points": n_msm,
-                    "msm_instances": n_inst,
-                    "msm_iters": msm_done,
-                    "msm_rows_per_build": msm_rows,
-                    "msm_rows_per_sec": round(msm_rows_s, 1),
-                })
-                updated = True
-        except Exception as e:  # pragma: no cover
-            print(f"# msm bench failed: {e!r}", file=sys.stderr)
-    else:
-        print("# msm bench skipped (flag or budget)", file=sys.stderr)
-    if not os.environ.get("BENCH_SKIP_KECCAK") and _remaining(deadline) > 30:
-        try:
-            kB = int(os.environ.get("BENCH_KECCAK_BATCH", 128))
-            k_iters = int(os.environ.get("BENCH_KECCAK_ITERS", 2))
-            r = bench_keccak(kB, k_iters, deadline)
-            if r is not None:
-                hps, krps, krows = r
-                result.update({
-                    "keccak_hashes_per_sec": round(hps, 1),
-                    "keccak_batch": kB,
-                    "keccak_rows_per_build": krows,
-                    "keccak_rows_per_sec": round(krps, 1),
-                })
-                updated = True
-        except Exception as e:  # pragma: no cover
-            print(f"# keccak bench failed: {e!r}", file=sys.stderr)
-    else:
-        print("# keccak bench skipped (flag or budget)", file=sys.stderr)
+    subs = []
+    if not os.environ.get("BENCH_SKIP_MSM"):
+        subs.append("msm")
+    if not os.environ.get("BENCH_SKIP_KECCAK"):
+        subs.append("keccak")
+    for i, name in enumerate(subs):
+        remaining = _remaining(deadline)
+        if remaining < 45:
+            print(f"# sub-bench {name} skipped (budget)", file=sys.stderr)
+            continue
+        # leave headroom for later subs + final print
+        cap = float(os.environ.get("BENCH_SUB_TIMEOUT", 240))
+        share = (remaining - 15) / (len(subs) - i)
+        r = run_sub(name, min(cap, share))
+        if r:
+            result.update(r)
+            updated = True
 
     if updated:
         print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        import jax as _jax
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        {"msm": bench_msm, "keccak": bench_keccak}[sys.argv[2]]()
+    else:
+        main()

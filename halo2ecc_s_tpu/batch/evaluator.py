@@ -72,48 +72,86 @@ def live_nodes(tape: Tape, roots: Sequence[int]) -> List[int]:
     return sorted(needed)
 
 
-def _vector_plan(tape: Tape, order: Sequence[int], skip: set):
-    """Group same-shaped live nodes at the same dataflow depth.
-
-    Returns (levels map, {group key: [nids]}, {nid: group key})."""
-    level: Dict[int, int] = {}
-    for nid in order:
-        node = tape.nodes[nid]
-        level[nid] = (
-            0 if not node.args else 1 + max(level[a] for a in node.args)
+def _base_key(tape: Tape, nid: int):
+    """Shape key of a node for batching, WITHOUT a schedule position.
+    (Width-bucketed storage was tried and REGRESSED: padding the width-
+    sized Barrett reduces to a shared bucket costs more MACs than the
+    extra groups save — eval 0.30s -> 0.62s on TPU, devprof r4c.)"""
+    node = tape.nodes[nid]
+    if node.op == "pick":
+        return ("pick", node.args[0], _limbs(node.bits))
+    if node.op == "mulc":
+        # power-of-two constants lower to per-member shifts
+        # (shl_limbs_vec); keep them out of true-multiply groups
+        return (
+            "mulc", _is_pow2(node.const), _limbs(node.bits),
+            tuple(_limbs(tape.nodes[a].bits) for a in node.args),
         )
-    groups: Dict[tuple, List[int]] = {}
+    if node.op in CONST_ARRAY_OPS:
+        # const becomes a per-member static array (shift/mask/multiplier
+        # /sub-lift/assume-width), so differently-parameterised nodes of
+        # one shape still share a group — range-chunk decompositions
+        # (shr/andmask sweeps) are the bulk of ecc witness tapes
+        return (
+            node.op, _limbs(node.bits),
+            tuple(_limbs(tape.nodes[a].bits) for a in node.args),
+        )
+    return (
+        node.op, node.const, _limbs(node.bits),
+        tuple(_limbs(tape.nodes[a].bits) for a in node.args),
+    )
+
+
+def _vector_plan(tape: Tape, order: Sequence[int], skip: set):
+    """Group same-shaped live nodes into maximal dependency-free batches.
+
+    Nodes are keyed by shape (_base_key) and RANK, where rank increments
+    only when a dependency path crosses a group-eligible node: rank[n] =
+    max over args a of (rank[a] + 1 if a eligible else rank[a]). Two
+    same-rank eligible nodes cannot depend on each other (any path between
+    them crosses the producer, incrementing rank), and a batch at rank r
+    only reads batches at rank < r and scalars at rank <= r — so scheduling
+    scalars-then-batches per rank is a valid topological order, cross-key
+    batch cycles included. Compared to exact-depth grouping this merges
+    same-shaped work from interleaved chains (an int_mul tape's 96 shr
+    nodes sit at ~dozens of distinct depths but only ~a few ranks), which
+    is what lets captured range chunks reach the packed-buffer path instead
+    of 100+ per-node stacks (measured 64% of emit time on TPU,
+    scripts/pack_bisect.py).
+
+    Returns (rank map, {group key: [nids]}, {nid: group key})."""
+    eligible: Dict[int, tuple] = {}
+    key_count: Dict[tuple, int] = {}
     for nid in order:
         node = tape.nodes[nid]
         if node.op not in VEC_OPS or nid in skip:
             continue
-        if node.op == "pick":
-            key = ("pick", node.args[0], _limbs(node.bits))
-        elif node.op == "mulc":
-            # power-of-two constants lower to per-member shifts
-            # (shl_limbs_vec); keep them out of true-multiply groups
-            key = (
-                level[nid], "mulc", _is_pow2(node.const), _limbs(node.bits),
-                tuple(_limbs(tape.nodes[a].bits) for a in node.args),
-            )
-        elif node.op in CONST_ARRAY_OPS:
-            # const becomes a per-member static array (shift/mask/multiplier
-            # /sub-lift/assume-width), so differently-parameterised nodes of
-            # one shape still share a group — range-chunk decompositions
-            # (shr/andmask sweeps) are the bulk of ecc witness tapes
-            key = (
-                level[nid], node.op, _limbs(node.bits),
-                tuple(_limbs(tape.nodes[a].bits) for a in node.args),
-            )
-        else:
-            key = (
-                level[nid], node.op, node.const, _limbs(node.bits),
-                tuple(_limbs(tape.nodes[a].bits) for a in node.args),
-            )
+        bk = _base_key(tape, nid)
+        eligible[nid] = bk
+        key_count[bk] = key_count.get(bk, 0) + 1
+    grouped = {
+        nid for nid, bk in eligible.items() if key_count[bk] >= VEC_MIN
+    }
+    rank: Dict[int, int] = {}
+    for nid in order:
+        node = tape.nodes[nid]
+        rank[nid] = max(
+            (rank[a] + (1 if a in grouped else 0) for a in node.args),
+            default=0,
+        )
+    groups: Dict[tuple, List[int]] = {}
+    for nid in order:
+        if nid not in grouped:
+            continue
+        bk = eligible[nid]
+        key = bk if bk[0] == "pick" else (rank[nid],) + bk
         groups.setdefault(key, []).append(nid)
-    vgroups = {k: g for k, g in groups.items() if len(g) >= VEC_MIN}
+    # a (key, rank) bucket can end up tiny after rank splitting; executing
+    # it as a group is still correct (the rank schedule stays topological)
+    # but singletons gain nothing over the scalar path
+    vgroups = {k: g for k, g in groups.items() if len(g) >= 2}
     member = {nid: k for k, g in vgroups.items() for nid in g}
-    return level, vgroups, member
+    return rank, vgroups, member
 
 
 class _Bufs:

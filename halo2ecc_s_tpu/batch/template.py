@@ -625,6 +625,14 @@ class Template:
         This is the full TPU witness path: values AND table layout live in
         HBM, where a device-side prover would consume them.
 
+        On accelerators, tapes the whole-template Pallas kernel supports run
+        through it (kernels/tape_pallas.py: the full tape + slab packing per
+        batch tile in VMEM — measured 6.8x the XLA lowering on the int_mul
+        template); other tapes, non-tile-aligned batch sizes, and CPU use
+        the XLA evaluator + gather-based assembly. Both paths are bit-exact
+        (tests/test_tape_pallas.py). HALO2ECC_TPU_NO_TAPE_PALLAS=1 forces
+        the XLA path.
+
         Input contract: numpy inputs are validated against declared widths
         before dispatch; callers passing device arrays (e.g. bench.py's jitted
         generator, shard_map via device_emitter_raw) must themselves guarantee
@@ -643,9 +651,21 @@ class Template:
         )
         plans = self._table_pack_plan(eslot)
 
+        pallas_kernel = None
+        pallas_W = int(os.environ.get("HALO2ECC_TPU_TAPE_PALLAS_W", 128))
+        if (
+            jax.default_backend() not in ("cpu",)
+            and not os.environ.get("HALO2ECC_TPU_NO_TAPE_PALLAS")
+        ):
+            from ..kernels.tape_pallas import build_slab_kernel
+
+            pallas_kernel = build_slab_kernel(self, W=pallas_W)
+
         def emit(inputs):
-            outs, bufs = ev(inputs)
             B = next(iter(inputs.values())).shape[0]
+            if pallas_kernel is not None and B % (8 * pallas_W) == 0:
+                return pallas_kernel(inputs)
+            outs, bufs = ev(inputs)
 
             def take(nid):
                 v = outs.get(nid)
@@ -657,8 +677,6 @@ class Template:
             if lane:
                 return self._assemble_tables_lane(plans, take, bufs, B)
             return self._assemble_tables(plans, take, bufs, B)
-
-        import jax
 
         self._dev_emit_raw = emit
         jitted = jax.jit(emit)

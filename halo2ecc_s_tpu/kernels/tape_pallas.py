@@ -1,0 +1,499 @@
+"""Whole-template Pallas TPU kernel: evaluate a witness tape AND assemble
+the packed advice slabs for one batch tile entirely in VMEM.
+
+The XLA lowering (batch/evaluator.py + template._assemble_tables_lane)
+materialises every tape node and every pack stage in HBM — measured ~10x off
+the HBM write roofline on the int_mul template (scripts/device_profile.py,
+scripts/pack_bisect.py: the per-node stacks and strided limb-pair packing
+dominate). Here the whole tape runs per batch tile with zero intermediate
+HBM traffic: the only HBM reads are the template inputs and the only writes
+are the final packed slab rows — the memory-minimal form of the witness
+workload the reference's row-table writes define (context.rs:634-714).
+
+Design (all Mosaic-friendly, nothing the TPU lowering rejects):
+  - a value = Python list of u32[8, W] arrays, one per 16-bit limb: every
+    limb op is a full-vreg elementwise op; limb indexing is Python-level
+    (no strided sublane slicing, no gathers, no reshapes, no concatenates);
+  - batch tile = 8*W instances: inputs arrive pre-shaped u32[L, 8, B//8]
+    (one cheap XLA relayout outside the kernel), block (L, 8, W);
+  - all static constants (moduli, Barrett mu, shift offsets, table
+    constants) are PYTHON INT LITERALS baked into the kernel body — Pallas
+    rejects captured array constants, scalars are free;
+  - multiplies accumulate raw 32-bit partial sums with build-time bound
+    tracking; one bound-checked sequential carry chain per node output
+    (bit-exact with kernels/ff_lane.py: same truncate-to-out_len-then-
+    normalise semantics);
+  - slab rows are written as out_ref[cell*8 + k] = packed pair, a 2-D
+    store per row of the [S*8, 8, W] block.
+
+Bit-exactness against the XLA evaluator path is tested by running the SAME
+kernel body over numpy ref shims (reference_call — Pallas interpret mode is
+far too slow for a 20k-op kernel body; tests/test_tape_pallas.py). Supported
+ops cover the integer-chip tapes (input/const/add/sub/mul/mulc/mod/div/shr/
+andmask/assume). Tapes using gather/pick/input_vec/inv/powm fall back to the
+XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ff_jax as ff
+
+MASK = 0xFFFF
+SUPPORTED_OPS = {
+    "input", "const", "add", "sub", "mul", "mulc", "mod", "div",
+    "shr", "andmask", "assume",
+}
+
+
+def tape_supported(tape, roots) -> bool:
+    from ..batch.evaluator import live_nodes
+
+    return all(
+        tape.nodes[n].op in SUPPORTED_OPS for n in live_nodes(tape, roots)
+    )
+
+
+def _limbs(bits: int) -> int:
+    return max((bits + 15) // 16, 1)
+
+
+class _Val:
+    """Normalised value: limbs[k] is u32[8, W] < 2^16 (or a Python int for
+    all-constant values)."""
+
+    __slots__ = ("limbs",)
+
+    def __init__(self, limbs):
+        self.limbs = list(limbs)
+
+    def width(self):
+        return len(self.limbs)
+
+
+def _is_lit(x) -> bool:
+    return isinstance(x, int)
+
+
+def _materialise(v: _Val, shape):
+    return [
+        jnp.full(shape, l, jnp.uint32) if _is_lit(l) else l for l in v.limbs
+    ]
+
+
+def _carry_norm(raw: List, bounds: List[int], out_len: int) -> List:
+    """Sequential carry over raw u32 accumulators, truncating to out_len
+    first and dropping the final carry-out — bit-exact with
+    ff_lane.carry_norm. Bounds are build-time Python ints; a step that
+    could overflow u32 is a build-time AssertionError (never triggers for
+    the ops emitted here: mul diagonals stay < 2^22), making the kernel
+    provably exact or loudly unbuildable."""
+    raw = list(raw[:out_len])
+    bounds = list(bounds[:out_len])
+    while len(raw) < out_len:
+        raw.append(0)
+        bounds.append(0)
+    outs = []
+    c = None
+    cb = 0
+    for k in range(out_len):
+        t = raw[k]
+        tb = bounds[k] + cb
+        assert tb < (1 << 32), ("carry overflow", k, tb)
+        if c is not None and not (_is_lit(c) and c == 0):
+            t = t + c
+        outs.append(t & MASK)
+        c, cb = t >> 16, tb >> 16
+    return outs
+
+
+def _add(a: _Val, b: _Val, out_len: int) -> _Val:
+    L = max(a.width(), b.width())
+    raw, bounds = [], []
+    for k in range(L):
+        x = a.limbs[k] if k < a.width() else 0
+        y = b.limbs[k] if k < b.width() else 0
+        if _is_lit(x) and x == 0:
+            raw.append(y)
+        elif _is_lit(y) and y == 0:
+            raw.append(x)
+        else:
+            raw.append(x + y)
+        bounds.append(2 * MASK)
+    return _Val(_carry_norm(raw, bounds, out_len))
+
+
+def _sub(a: _Val, b: _Val):
+    """(a - b) mod 2^(16*La) with borrow-out, b padded/truncated to La —
+    bit-exact with ff_lane.sub_limbs. Returns (diff _Val, borrow u32[8,W]
+    0/1 array or int)."""
+    La = a.width()
+    outs = []
+    bor = 0
+    for k in range(La):
+        x = a.limbs[k]
+        y = b.limbs[k] if k < b.width() else 0
+        t = x + ((1 << 16) - (y if not _is_lit(y) else y)) - bor
+        if _is_lit(t):
+            outs.append(t & MASK)
+            bor = 1 - (t >> 16)
+        else:
+            outs.append(t & MASK)
+            bor = 1 - (t >> 16)
+    return _Val(outs), bor
+
+
+def _mul_raw(a: _Val, b: _Val, out_len: int):
+    """Raw diagonal accumulation (lo + shifted hi), truncated to out_len —
+    the exact set of partial sums ff_lane's mul forms accumulate."""
+    La, Lb = a.width(), b.width()
+    raw = [0] * out_len
+    bounds = [0] * out_len
+    for i in range(La):
+        ai = a.limbs[i]
+        if _is_lit(ai) and ai == 0:
+            continue
+        for j in range(Lb):
+            bj = b.limbs[j]
+            if _is_lit(bj) and bj == 0:
+                continue
+            k = i + j
+            if k >= out_len:
+                continue
+            prod = ai * bj
+            if _is_lit(prod):
+                lo, hi = prod & MASK, prod >> 16
+            else:
+                lo, hi = prod & MASK, prod >> 16
+            raw[k] = lo if _is_lit(raw[k]) and raw[k] == 0 else raw[k] + lo
+            bounds[k] += MASK
+            if k + 1 < out_len:
+                raw[k + 1] = (
+                    hi if _is_lit(raw[k + 1]) and raw[k + 1] == 0
+                    else raw[k + 1] + hi
+                )
+                bounds[k + 1] += MASK
+    return raw, bounds
+
+
+def _mul(a: _Val, b: _Val, out_len: int) -> _Val:
+    raw, bounds = _mul_raw(a, b, out_len)
+    return _Val(_carry_norm(raw, bounds, out_len))
+
+
+def _lit_val(c: int, L: int) -> _Val:
+    return _Val([(c >> (16 * k)) & MASK for k in range(L)])
+
+
+def _pad(v: _Val, L: int) -> _Val:
+    if v.width() >= L:
+        return _Val(v.limbs[:L])
+    return _Val(v.limbs + [0] * (L - v.width()))
+
+
+def _select(cond, a: _Val, b: _Val) -> _Val:
+    """cond: u32 0/1 array (or int); per-limb where."""
+    L = max(a.width(), b.width())
+    a, b = _pad(a, L), _pad(b, L)
+    if _is_lit(cond):
+        return a if cond else b
+    c = cond != 0
+    outs = []
+    for x, y in zip(a.limbs, b.limbs):
+        if _is_lit(x) and _is_lit(y) and x == y:
+            outs.append(x)
+        else:
+            xx = x if not _is_lit(x) else jnp.full(c.shape, x, jnp.uint32)
+            yy = y if not _is_lit(y) else jnp.full(c.shape, y, jnp.uint32)
+            outs.append(jnp.where(c, xx, yy))
+    return _Val(outs)
+
+
+def _extract_bits(v: _Val, start: int, width: int) -> _Val:
+    """Bit-exact mirror of ff_lane.extract_bit_slice."""
+    L = v.width()
+    out_limbs = (width + 15) // 16
+    i0, s = divmod(start, 16)
+    outs = []
+    for k in range(out_limbs):
+        lo = (v.limbs[i0 + k] >> s) if i0 + k < L else 0
+        if s > 0 and i0 + k + 1 < L:
+            hi = (v.limbs[i0 + k + 1] << (16 - s)) & MASK
+            lo = hi if (_is_lit(lo) and lo == 0) else lo | hi
+        rem = width - k * 16
+        if rem < 16:
+            lo = lo & ((1 << rem) - 1)
+        outs.append(lo & MASK if not _is_lit(lo) else lo & MASK)
+    return _Val(outs)
+
+
+def _shl(v: _Val, s: int, out_len: int) -> _Val:
+    """Bit-exact mirror of ff_lane.shl_limbs."""
+    i0, r = divmod(s, 16)
+    if r:
+        y = []
+        prev_lo = 0
+        for k in range(v.width()):
+            hi = (v.limbs[k] << r) & MASK
+            cur = hi if (_is_lit(prev_lo) and prev_lo == 0) else hi | prev_lo
+            y.append(cur)
+            prev_lo = v.limbs[k] >> (16 - r)
+        y.append(prev_lo)
+    else:
+        y = list(v.limbs)
+    y = [0] * i0 + y
+    return _pad(_Val(y), out_len)
+
+
+def _div_rem(v: _Val, w: int, x_limbs: int, q_limbs: int):
+    """Bit-exact mirror of ff_lane.div_rem_by (Barrett, 2 corrections)."""
+    k = ff.n_limbs_for(w)
+    mu = (1 << (16 * x_limbs)) // w
+    mu_v = _lit_val(mu, x_limbs - k + 2)
+    w_v = _lit_val(w, k)
+    x = _pad(v, x_limbs)
+    q1 = _Val(x.limbs[k - 1:])
+    q2 = _mul(q1, mu_v, q1.width() + mu_v.width())
+    q_hat = _Val(q2.limbs[x_limbs - k + 1:][:q_limbs])
+    qw = _mul(q_hat, w_v, x_limbs + 1)
+    x_ext = _pad(x, x_limbs + 1)
+    r, _ = _sub(x_ext, qw)
+    w_ext = _pad(w_v, r.width())
+    one = _lit_val(1, q_limbs)
+    for _ in range(2):
+        d, borrow = _sub(r, w_ext)
+        qadd = _add(q_hat, one, q_limbs)
+        take = borrow == 0 if not _is_lit(borrow) else int(borrow == 0)
+        r = _select(take, d, r)
+        q_hat = _select(take, qadd, q_hat)
+    return q_hat, _Val(r.limbs[:k])
+
+
+class _Ref:
+    """Numpy ref shim so the kernel body runs outside Pallas for tests."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, v):
+        self.arr[idx] = np.asarray(v, dtype=np.uint32)
+
+
+def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
+    """Build fn(inputs: {name: u32[B, 16]}) -> {ridx: u32[B, stride, n_adv,
+    8]} computing the template's packed advice slabs in ONE Pallas kernel
+    (bit-exact with Template._assemble_tables_lane + the XLA evaluator).
+
+    Returns None if the tape uses unsupported ops. The returned callable
+    handles the [B,16] -> [L,8,B//8] input relayout and the inverse slab
+    relayout with ordinary XLA ops (a few % of the slab bytes).
+
+    reference=True runs the SAME kernel body over numpy ref shims, one tile
+    at a time — the bit-exactness oracle for tests (Pallas interpret mode
+    cannot execute a 20k-op body in reasonable time)."""
+    from ..batch.evaluator import live_nodes
+
+    tape = tmpl.tape
+    roots = tuple(tmpl._roots())
+    if not tape_supported(tape, roots):
+        return None
+    order = live_nodes(tape, roots)
+    nodes = tape.nodes
+    input_names = {nid: name for nid, name, _ in tape.inputs}
+    rinfo = tmpl._region_const_info()
+
+    regions = [r for r, info in enumerate(rinfo) if info is not None]
+    declared = {}
+    for nid, name, bits in tape.inputs:
+        declared[name] = bits
+
+    def kernel(*refs):
+        in_refs = refs[: len(tape.inputs)]
+        out_refs = refs[len(tape.inputs):]
+        shape = in_refs[0][0].shape  # [8, W]
+        vals: Dict[int, _Val] = {}
+        name_ref = {}
+        for (nid, name, bits), ref in zip(tape.inputs, in_refs):
+            name_ref[name] = ref
+
+        for nid in order:
+            node = nodes[nid]
+            op = node.op
+            if op == "input":
+                ref = name_ref[input_names[nid]]
+                La = ref.shape[0]
+                L = _limbs(node.bits)
+                vals[nid] = _Val(
+                    [ref[k] for k in range(min(L, La))] + [0] * max(L - La, 0)
+                )
+            elif op == "const":
+                vals[nid] = _lit_val(node.const, _limbs(node.bits))
+            elif op == "add":
+                a, b = vals[node.args[0]], vals[node.args[1]]
+                vals[nid] = _add(a, b, _limbs(node.bits))
+            elif op == "sub":
+                a, b = vals[node.args[0]], vals[node.args[1]]
+                L = _limbs(node.bits)
+                t = _add(a, _lit_val(node.const, L), L)
+                d, _ = _sub(t, b)
+                vals[nid] = d
+            elif op == "mul":
+                a, b = vals[node.args[0]], vals[node.args[1]]
+                vals[nid] = _mul(a, b, _limbs(node.bits))
+            elif op == "mulc":
+                a = vals[node.args[0]]
+                c = node.const
+                L = _limbs(node.bits)
+                if c > 0 and (c & (c - 1)) == 0:
+                    vals[nid] = _shl(a, c.bit_length() - 1, L)
+                else:
+                    Lc = _limbs(max(c.bit_length(), 1))
+                    vals[nid] = _mul(a, _lit_val(c, Lc), L)
+            elif op in ("mod", "div"):
+                a = vals[node.args[0]]
+                m = node.const
+                k = ff.n_limbs_for(m)
+                # width-sized spec, mirroring batch/evaluator.py exactly
+                # (the stored-width bucket feeds nlimbs there; here the
+                # value width is the natural one — both give the same
+                # exact q/r, and the OUTPUT limbs are the canonical value)
+                if op == "mod":
+                    x_limbs = max(a.width(), k)
+                else:
+                    x_limbs = max(a.width(), k + 1)
+                q_limbs = max(x_limbs - k + 2, 1)
+                q, r = _div_rem(a, m, x_limbs, q_limbs)
+                out = r if op == "mod" else q
+                vals[nid] = _pad(out, _limbs(node.bits))
+            elif op == "andmask":
+                a = vals[node.args[0]]
+                vals[nid] = _extract_bits(a, 0, max(node.const.bit_length(), 1))
+            elif op == "shr":
+                a = vals[node.args[0]]
+                width = max(a.width() * 16 - node.const, 1)
+                vals[nid] = _extract_bits(a, node.const, width)
+            elif op == "assume":
+                vals[nid] = _pad(vals[node.args[0]], _limbs(node.const))
+            else:  # pragma: no cover
+                raise NotImplementedError(op)
+
+        # slab writes: packed 16-bit limb pairs, row (cell*8 + k)
+        for out_ref, ridx in zip(out_refs, regions):
+            stride, n_adv, const, captures = rinfo[ridx]
+            cap = {(r, c): nid for (r, c, nid) in captures}
+            for r in range(stride):
+                for c in range(n_adv):
+                    cell = r * n_adv + c
+                    nid = cap.get((r, c))
+                    if nid is None:
+                        for k in range(8):
+                            out_ref[cell * 8 + k] = jnp.full(
+                                shape, int(const[r, c, k]), jnp.uint32
+                            )
+                    else:
+                        v = _pad(vals[nid], 16)
+                        for k in range(8):
+                            lo, hi = v.limbs[2 * k], v.limbs[2 * k + 1]
+                            if _is_lit(lo) and _is_lit(hi):
+                                out_ref[cell * 8 + k] = jnp.full(
+                                    shape, lo | (hi << 16), jnp.uint32
+                                )
+                            else:
+                                lo = lo if not _is_lit(lo) else jnp.full(shape, lo, jnp.uint32)
+                                p = lo if _is_lit(hi) and hi == 0 else lo | (
+                                    (hi if not _is_lit(hi) else jnp.full(shape, hi, jnp.uint32)) << 16
+                                )
+                                out_ref[cell * 8 + k] = p
+
+    from jax.experimental import pallas as pl
+
+    def _reference_call(inputs):
+        B = next(iter(inputs.values())).shape[0]
+        assert B % (8 * W) == 0, (B, W)
+        Bs = B // 8
+        prep = []
+        for nid, name, bits in tape.inputs:
+            arr = np.asarray(inputs[name])
+            La = arr.shape[-1]
+            prep.append(
+                np.ascontiguousarray(arr.T).reshape(La, 8, Bs)
+            )
+        outs = []
+        for ridx in regions:
+            stride, n_adv, _c, _cap = rinfo[ridx]
+            outs.append(np.zeros((stride * n_adv * 8, 8, Bs), np.uint32))
+        for t in range(Bs // W):
+            sl = slice(t * W, (t + 1) * W)
+            refs = [_Ref(a[:, :, sl]) for a in prep] + [
+                _Ref(o[:, :, sl]) for o in outs
+            ]
+            kernel(*refs)
+        slabs = {}
+        for ridx, o in zip(regions, outs):
+            stride, n_adv, _c, _cap = rinfo[ridx]
+            S = stride * n_adv
+            t = o.reshape(S, 8, 8, Bs)
+            slabs[ridx] = np.ascontiguousarray(
+                t.transpose(2, 3, 0, 1)
+            ).reshape(B, stride, n_adv, 8)
+        return slabs
+
+    if reference:
+        return _reference_call
+
+    def call(inputs: Dict[str, jnp.ndarray]):
+        B = next(iter(inputs.values())).shape[0]
+        assert B % (8 * W) == 0, (B, W)
+        Bs = B // 8
+        grid = (Bs // W,)
+        prep = []
+        in_specs = []
+        for nid, name, bits in tape.inputs:
+            arr = jnp.asarray(inputs[name])  # [B, La]
+            La = arr.shape[-1]
+            # [B, L] -> [L, 8, B//8]; b = s * (B//8) + w
+            a = jnp.transpose(arr, (1, 0)).reshape(La, 8, Bs)
+            prep.append(a)
+            in_specs.append(pl.BlockSpec((La, 8, W), lambda i: (0, 0, i)))
+        out_shapes = []
+        out_specs = []
+        for ridx in regions:
+            stride, n_adv, _c, _cap = rinfo[ridx]
+            S = stride * n_adv
+            out_shapes.append(
+                jax.ShapeDtypeStruct((S * 8, 8, Bs), jnp.uint32)
+            )
+            out_specs.append(pl.BlockSpec((S * 8, 8, W), lambda i: (0, 0, i)))
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+        )(*prep)
+        slabs = {}
+        for ridx, o in zip(regions, outs):
+            stride, n_adv, _c, _cap = rinfo[ridx]
+            S = stride * n_adv
+            # [S*8, 8, Bs] -> [B, stride, n_adv, 8]
+            t = o.reshape(S, 8, 8, Bs)
+            t = jnp.transpose(t, (2, 3, 0, 1)).reshape(B, stride, n_adv, 8)
+            slabs[ridx] = t
+        return slabs
+
+    return call

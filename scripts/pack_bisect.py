@@ -1,0 +1,146 @@
+"""Bisect the advice-slab pack cost on TPU: time eval + successive pack
+stages (parts -> concat -> gather -> where -> transpose) in folded loops.
+
+Usage: python scripts/pack_bisect.py [B] [ITERS]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from halo2ecc_s_tpu.batch.evaluator import build_evaluator_packed
+from halo2ecc_s_tpu.batch.template import Template, _lane_mode
+from halo2ecc_s_tpu.models.int_mul import int_mul_template
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+REPEATS = int(os.environ.get("REPEATS", 3))
+
+tmpl = int_mul_template()
+rows_per_instance = sum(tmpl.strides)
+roots = tuple(tmpl._roots())
+LANE = _lane_mode(False)
+ev, eslot = build_evaluator_packed(tmpl.tape, roots, lane_major=LANE)
+plans = tmpl._table_pack_plan(eslot)
+
+
+def gen_inputs_raw(key):
+    ka, kb = jax.random.split(key)
+    a = jax.random.bits(ka, (B, 16), jnp.uint32) & 0xFFFF
+    b = jax.random.bits(kb, (B, 16), jnp.uint32) & 0xFFFF
+    a = a.at[:, -1].set(a[:, -1] & 0x1FFF)
+    b = b.at[:, -1].set(b[:, -1] & 0x1FFF)
+    return a, b
+
+
+def loop(body_out_fn):
+    def step(i, carry):
+        k, _ = carry
+        k, sub = jax.random.split(k)
+        return k, body_out_fn(sub)
+
+    @jax.jit
+    def run(k):
+        k, sub = jax.random.split(k)
+        init = body_out_fn(sub)
+        k, out = jax.lax.fori_loop(0, ITERS - 1, step, (k, init))
+        return out
+
+    return run
+
+
+def timeit(name, run):
+    out = run(jax.random.PRNGKey(0))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+    best = float("inf")
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        out = run(jax.random.PRNGKey(1 + r))
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    rows = ITERS * B * rows_per_instance
+    print(f"{name:20s} best {best:7.3f}s  {rows/best/1e6:8.1f}M rows/s", flush=True)
+    return best
+
+
+def pad16(v):
+    if v.shape[-2] < 16:
+        return jnp.concatenate(
+            [v, jnp.zeros((16 - v.shape[-2],) + v.shape[-1:], jnp.uint32)],
+            axis=-2,
+        )
+    return v[..., :16, :]
+
+
+def make_body(stage):
+    def body(sub):
+        a, b = gen_inputs_raw(sub)
+        outs, bufs = ev({"a": a, "b": b})
+
+        def take(nid):
+            v = outs.get(nid)
+            if v is None:
+                L, i = eslot[nid]
+                v = bufs[L][i]
+            return v
+
+        res = []
+        for plan in plans:
+            if plan is None:
+                continue
+            stride, n_adv, const_flat, cell_src, is_cap, src_specs, ncap = plan
+            parts = []
+            for spec in src_specs:
+                if spec[0] == "vec":
+                    _, L, idxs = spec
+                    parts.append(Template._pack8_lane(bufs[L][idxs]))
+                else:
+                    parts.append(
+                        Template._pack8_lane(
+                            jnp.stack([pad16(take(n)) for n in spec[1]], axis=0)
+                        )
+                    )
+            if stage == "parts":
+                res.extend(parts)
+                continue
+            cap_buf = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            if stage == "concat":
+                res.append(cap_buf)
+                continue
+            gathered = cap_buf[jnp.asarray(cell_src)]  # [S, 8, B]
+            if stage == "gather":
+                res.append(gathered)
+                continue
+            tbl = jnp.where(
+                jnp.asarray(is_cap)[:, None, None],
+                gathered,
+                jnp.asarray(const_flat)[:, :, None],
+            )
+            if stage == "where":
+                res.append(tbl)
+                continue
+            res.append(
+                jnp.transpose(tbl, (2, 0, 1)).reshape(B, stride, n_adv, 8)
+            )
+        return tuple(res)
+
+    return body
+
+
+print(f"B={B} iters={ITERS} lane={LANE}", flush=True)
+for stage in ("parts", "concat", "gather", "where", "full"):
+    timeit(f"eval+{stage}", loop(make_body(stage)))
