@@ -496,6 +496,17 @@ class Template:
         ev, eslot = build_evaluator_packed(
             self.tape, roots, fuse_pallas_modmul=fuse, lane_major=lane
         )
+        pallas_kernel = None
+        pallas_W = int(os.environ.get("HALO2ECC_TPU_TAPE_PALLAS_W", 128))
+        if (
+            jax.default_backend() not in ("cpu",)
+            and not os.environ.get("HALO2ECC_TPU_NO_TAPE_PALLAS")
+        ):
+            from ..kernels.tape_pallas import build_slab_kernel
+
+            pallas_kernel = build_slab_kernel(
+                self, W=pallas_W, with_outputs=True
+            )
         region_info = self._region_const_info()
         vec_groups = []
         for v in _iter_vecs(self.outputs):
@@ -536,8 +547,10 @@ class Template:
             return v[..., :16, :]
 
         def emit(inputs):
-            outs, bufs = ev(inputs)
             B = next(iter(inputs.values())).shape[0]
+            if pallas_kernel is not None and B % (8 * pallas_W) == 0:
+                return pallas_kernel(inputs)
+            outs, bufs = ev(inputs)
 
             def take(nid):
                 v = outs.get(nid)

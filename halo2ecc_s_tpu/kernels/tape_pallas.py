@@ -294,10 +294,19 @@ class _Ref:
         self.arr[idx] = np.asarray(v, dtype=np.uint32)
 
 
-def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
+def build_slab_kernel(
+    tmpl, W: int = 128, reference: bool = False, with_outputs: bool = False,
+):
     """Build fn(inputs: {name: u32[B, 16]}) -> {ridx: u32[B, stride, n_adv,
     8]} computing the template's packed advice slabs in ONE Pallas kernel
     (bit-exact with Template._assemble_tables_lane + the XLA evaluator).
+
+    with_outputs=True returns the full slab_value_emitter contract instead:
+    fn(inputs) -> (slabs, outvals {nid|("vec",i): u32[B,16]|[B,K,16]},
+    flags {'diverged': bool0, 'width_bad': bool0}) — output-leaf values and
+    the divergence/width safety masks are computed in-kernel (per-lane OR
+    masks, reduced outside), so deferred device pipelines (MSM phases) run
+    through the same single kernel.
 
     Returns None if the tape uses unsupported ops. The returned callable
     handles the [B,16] -> [L,8,B//8] input relayout and the inverse slab
@@ -321,6 +330,38 @@ def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
     declared = {}
     for nid, name, bits in tape.inputs:
         declared[name] = bits
+
+    # output-leaf / flag layout (mirrors Template._build_slab_emitter)
+    out_nids: List[int] = []
+    vec_groups: List[Tuple[int, ...]] = []
+    aec: List[Tuple[int, int]] = []
+    achk: List[Tuple[int, int]] = []
+    val_rows = 0
+    row_of: Dict = {}
+    if with_outputs:
+        from ..batch.template import _iter_leaves, _iter_vecs
+        from ..batch.symbolic import SymVal
+
+        for v in _iter_vecs(tmpl.outputs):
+            assert all(isinstance(l.val, SymVal) for l in v.leaves)
+            vec_groups.append(tuple(l.val.nid for l in v.leaves))
+        vec_leaf_nids = {nid for g in vec_groups for nid in g}
+        out_nids = sorted(
+            {
+                leaf.val.nid
+                for leaf in _iter_leaves(tmpl.outputs)
+                if isinstance(leaf.val, SymVal)
+            }
+            - vec_leaf_nids
+        )
+        aec = list(tape.assume_equal_const)
+        achk = sorted(set(tape.assume_checks))
+        for nid in out_nids:
+            row_of[nid] = val_rows
+            val_rows += 16
+        for i, g in enumerate(vec_groups):
+            row_of[("vec", i)] = val_rows
+            val_rows += 16 * len(g)
 
     def kernel(*refs):
         in_refs = refs[: len(tape.inputs)]
@@ -392,8 +433,62 @@ def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
             else:  # pragma: no cover
                 raise NotImplementedError(op)
 
+        slab_refs = out_refs[: len(regions)]
+        if with_outputs:
+            vref = out_refs[len(regions)] if val_rows else None
+            fref = out_refs[-1]
+
+            def write_val(base_row, v: _Val):
+                v = _pad(v, 16)
+                for k in range(16):
+                    l = v.limbs[k]
+                    vref[base_row + k] = (
+                        jnp.full(shape, l, jnp.uint32) if _is_lit(l) else l
+                    )
+
+            for nid in out_nids:
+                write_val(row_of[nid], vals[nid])
+            for i, g in enumerate(vec_groups):
+                for j, nid in enumerate(g):
+                    write_val(row_of[("vec", i)] + 16 * j, vals[nid])
+
+            zero = jnp.zeros(shape, jnp.uint32)
+            div_mask = zero
+            for nid, const_v in aec:
+                v = vals[nid]
+                for k in range(v.width()):
+                    want = (const_v >> (16 * k)) & MASK
+                    l = v.limbs[k]
+                    if _is_lit(l):
+                        if l != want:
+                            div_mask = div_mask | jnp.uint32(1)
+                    else:
+                        div_mask = div_mask | (l != want).astype(jnp.uint32)
+                assert const_v >> (16 * v.width()) == 0, (nid, const_v)
+            wid_mask = zero
+            for nid, kbits in achk:
+                v = vals[nid]
+                L = (kbits + 15) // 16
+                for k in range(L, v.width()):
+                    l = v.limbs[k]
+                    if _is_lit(l):
+                        if l != 0:
+                            wid_mask = wid_mask | jnp.uint32(1)
+                    else:
+                        wid_mask = wid_mask | (l != 0).astype(jnp.uint32)
+                rem = kbits % 16
+                if rem and L - 1 < v.width():
+                    l = v.limbs[L - 1]
+                    if _is_lit(l):
+                        if l >> rem:
+                            wid_mask = wid_mask | jnp.uint32(1)
+                    else:
+                        wid_mask = wid_mask | (l >> rem != 0).astype(jnp.uint32)
+            fref[0] = div_mask
+            fref[1] = wid_mask
+
         # slab writes: packed 16-bit limb pairs, row (cell*8 + k)
-        for out_ref, ridx in zip(out_refs, regions):
+        for out_ref, ridx in zip(slab_refs, regions):
             stride, n_adv, const, captures = rinfo[ridx]
             cap = {(r, c): nid for (r, c, nid) in captures}
             for r in range(stride):
@@ -437,6 +532,10 @@ def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
         for ridx in regions:
             stride, n_adv, _c, _cap = rinfo[ridx]
             outs.append(np.zeros((stride * n_adv * 8, 8, Bs), np.uint32))
+        if with_outputs:
+            if val_rows:
+                outs.append(np.zeros((val_rows, 8, Bs), np.uint32))
+            outs.append(np.zeros((2, 8, Bs), np.uint32))
         for t in range(Bs // W):
             sl = slice(t * W, (t + 1) * W)
             refs = [_Ref(a[:, :, sl]) for a in prep] + [
@@ -444,14 +543,39 @@ def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
             ]
             kernel(*refs)
         slabs = {}
-        for ridx, o in zip(regions, outs):
+        for ridx, o in zip(regions, outs[: len(regions)]):
             stride, n_adv, _c, _cap = rinfo[ridx]
             S = stride * n_adv
             t = o.reshape(S, 8, 8, Bs)
             slabs[ridx] = np.ascontiguousarray(
                 t.transpose(2, 3, 0, 1)
             ).reshape(B, stride, n_adv, 8)
-        return slabs
+        if not with_outputs:
+            return slabs
+        extra = outs[len(regions):]
+        vo = extra[0] if val_rows else None
+        fo = extra[-1]
+        outvals = _assemble_outvals(vo, B, Bs, np)
+        flags = {
+            "diverged": bool(fo[0].any()),
+            "width_bad": bool(fo[1].any()),
+        }
+        return slabs, outvals, flags
+
+    def _assemble_outvals(vo, B, Bs, xp):
+        """vo: [val_rows, 8, Bs] -> {nid: [B,16]} / {("vec",i): [B,K,16]}."""
+        outvals = {}
+        if vo is None:
+            return outvals
+        for nid in out_nids:
+            t = vo[row_of[nid] : row_of[nid] + 16]  # [16, 8, Bs]
+            outvals[nid] = xp.transpose(t, (1, 2, 0)).reshape(B, 16)
+        for i, g in enumerate(vec_groups):
+            K = len(g)
+            r0 = row_of[("vec", i)]
+            t = vo[r0 : r0 + 16 * K].reshape(K, 16, 8, Bs)
+            outvals[("vec", i)] = xp.transpose(t, (2, 3, 0, 1)).reshape(B, K, 16)
+        return outvals
 
     if reference:
         return _reference_call
@@ -479,6 +603,16 @@ def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
                 jax.ShapeDtypeStruct((S * 8, 8, Bs), jnp.uint32)
             )
             out_specs.append(pl.BlockSpec((S * 8, 8, W), lambda i: (0, 0, i)))
+        if with_outputs:
+            if val_rows:
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((val_rows, 8, Bs), jnp.uint32)
+                )
+                out_specs.append(
+                    pl.BlockSpec((val_rows, 8, W), lambda i: (0, 0, i))
+                )
+            out_shapes.append(jax.ShapeDtypeStruct((2, 8, Bs), jnp.uint32))
+            out_specs.append(pl.BlockSpec((2, 8, W), lambda i: (0, 0, i)))
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -487,13 +621,23 @@ def build_slab_kernel(tmpl, W: int = 128, reference: bool = False):
             out_shape=out_shapes,
         )(*prep)
         slabs = {}
-        for ridx, o in zip(regions, outs):
+        for ridx, o in zip(regions, outs[: len(regions)]):
             stride, n_adv, _c, _cap = rinfo[ridx]
             S = stride * n_adv
             # [S*8, 8, Bs] -> [B, stride, n_adv, 8]
             t = o.reshape(S, 8, 8, Bs)
             t = jnp.transpose(t, (2, 3, 0, 1)).reshape(B, stride, n_adv, 8)
             slabs[ridx] = t
-        return slabs
+        if not with_outputs:
+            return slabs
+        extra = outs[len(regions):]
+        vo = extra[0] if val_rows else None
+        fo = extra[-1]
+        outvals = _assemble_outvals(vo, B, Bs, jnp)
+        flags = {
+            "diverged": jnp.any(fo[0] != 0),
+            "width_bad": jnp.any(fo[1] != 0),
+        }
+        return slabs, outvals, flags
 
     return call

@@ -37,6 +37,32 @@ def test_int_mul_slabs_bit_exact():
             )
 
 
+def test_with_outputs_matches_slab_value_emitter():
+    import jax
+
+    tmpl = int_mul_template()
+    call = build_slab_kernel(tmpl, W=128, reference=True, with_outputs=True)
+    assert call is not None
+
+    B = 8 * 128
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32)
+    b = rng.integers(0, 1 << 16, (B, 16), dtype=np.int64).astype(np.uint32)
+    a[:, -1] &= 0x1FFF
+    b[:, -1] &= 0x1FFF
+
+    slabs, outvals, flags = call({"a": a, "b": b})
+    w_slabs, w_outvals, w_flags = tmpl.slab_value_emitter()({"a": a, "b": b})
+    for ridx in w_slabs:
+        assert np.array_equal(np.asarray(slabs[ridx]), np.asarray(w_slabs[ridx])), ridx
+    assert set(outvals) == set(w_outvals)
+    for k in w_outvals:
+        assert np.array_equal(np.asarray(outvals[k]), np.asarray(w_outvals[k])), k
+    assert bool(flags["diverged"]) == bool(np.asarray(w_flags["diverged"]))
+    assert bool(flags["width_bad"]) == bool(np.asarray(w_flags["width_bad"]))
+    assert not flags["diverged"] and not flags["width_bad"]
+
+
 def test_unsupported_tape_returns_none():
     # a tape with an inv node (ecc tangent) must fall back to the XLA path
     from halo2ecc_s_tpu.batch.template import Template
