@@ -547,9 +547,9 @@ class Template:
             return v[..., :16, :]
 
         def emit(inputs):
-            B = next(iter(inputs.values())).shape[0]
-            if pallas_kernel is not None and B % (8 * pallas_W) == 0:
+            if pallas_kernel is not None:
                 return pallas_kernel(inputs)
+            B = next(iter(inputs.values())).shape[0]
             outs, bufs = ev(inputs)
 
             def take(nid):
@@ -675,9 +675,9 @@ class Template:
             pallas_kernel = build_slab_kernel(self, W=pallas_W)
 
         def emit(inputs):
-            B = next(iter(inputs.values())).shape[0]
-            if pallas_kernel is not None and B % (8 * pallas_W) == 0:
+            if pallas_kernel is not None:
                 return pallas_kernel(inputs)
+            B = next(iter(inputs.values())).shape[0]
             outs, bufs = ev(inputs)
 
             def take(nid):

@@ -363,6 +363,22 @@ def build_slab_kernel(
             row_of[("vec", i)] = val_rows
             val_rows += 16 * len(g)
 
+    # VMEM gate: the per-tile OUTPUT blocks live in scoped VMEM (~16 MB on
+    # v5e); big templates (scalar decompose: ~1900 cells/instance) blow it
+    # ("Ran out of memory in memory space vmem ... scoped allocation").
+    # Estimate and fall back to the XLA path when it cannot fit.
+    out_rows = sum(
+        rinfo[r][0] * rinfo[r][1] * 8 for r in regions
+    ) + val_rows + (2 if with_outputs else 0)
+    out_bytes = out_rows * 8 * W * 4
+    # live tape values share VMEM too; rough upper estimate by total widths
+    val_bytes = sum(
+        _limbs(nodes_bits) * 8 * W * 4
+        for nodes_bits in (tape.nodes[n].bits for n in order)
+    )
+    if out_bytes > 12 << 20 or out_bytes + val_bytes // 4 > 48 << 20:
+        return None
+
     def kernel(*refs):
         in_refs = refs[: len(tape.inputs)]
         out_refs = refs[len(tape.inputs):]
@@ -581,14 +597,19 @@ def build_slab_kernel(
         return _reference_call
 
     def call(inputs: Dict[str, jnp.ndarray]):
-        B = next(iter(inputs.values())).shape[0]
-        assert B % (8 * W) == 0, (B, W)
+        B0 = next(iter(inputs.values())).shape[0]
+        tile = 8 * W
+        B = -(-B0 // tile) * tile  # pad up: lane 0 replicated (valid
+        # values -> no spurious divergence flags; padded lanes sliced off)
         Bs = B // 8
         grid = (Bs // W,)
         prep = []
         in_specs = []
         for nid, name, bits in tape.inputs:
-            arr = jnp.asarray(inputs[name])  # [B, La]
+            arr = jnp.asarray(inputs[name])  # [B0, La]
+            if B != B0:
+                fill = jnp.broadcast_to(arr[:1], (B - B0,) + arr.shape[1:])
+                arr = jnp.concatenate([arr, fill], axis=0)
             La = arr.shape[-1]
             # [B, L] -> [L, 8, B//8]; b = s * (B//8) + w
             a = jnp.transpose(arr, (1, 0)).reshape(La, 8, Bs)
@@ -627,13 +648,15 @@ def build_slab_kernel(
             # [S*8, 8, Bs] -> [B, stride, n_adv, 8]
             t = o.reshape(S, 8, 8, Bs)
             t = jnp.transpose(t, (2, 3, 0, 1)).reshape(B, stride, n_adv, 8)
-            slabs[ridx] = t
+            slabs[ridx] = t[:B0]
         if not with_outputs:
             return slabs
         extra = outs[len(regions):]
         vo = extra[0] if val_rows else None
         fo = extra[-1]
-        outvals = _assemble_outvals(vo, B, Bs, jnp)
+        outvals = {
+            k: v[:B0] for k, v in _assemble_outvals(vo, B, Bs, jnp).items()
+        }
         flags = {
             "diverged": jnp.any(fo[0] != 0),
             "width_bad": jnp.any(fo[1] != 0),
