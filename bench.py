@@ -82,11 +82,18 @@ def bench_msm():
     n_points = int(os.environ.get("BENCH_MSM_POINTS", 100))
     iters = int(os.environ.get("BENCH_MSM_ITERS", 2))
     n_inst = int(os.environ.get("BENCH_MSM_INSTANCES", 1))
+    # default engine: group-2 bisec (no select chip) — the reference's
+    # 400-pt no-select configuration (ecc_chip.rs:91-221,
+    # tests/native_scalar_ecc_chip.rs:109). Its window templates compile in
+    # minutes on the remote TPU toolchain where the 32-candidate select
+    # engine's take tens of minutes each (see BASELINE.md "MSM on TPU");
+    # BENCH_MSM_SELECT=1 switches to the select engine.
+    select = bool(os.environ.get("BENCH_MSM_SELECT"))
 
     instances = [
         random_msm_instance(n_points, seed=11 + i)[:2] for i in range(n_inst)
     ]
-    bm = BatchMsm()
+    bm = BatchMsm(with_select_chip=select)
 
     def run(seed):
         if n_inst == 1:
@@ -114,6 +121,7 @@ def bench_msm():
         result = {
             "msm_points_per_sec": round(n_points * n_inst * done / dt, 1),
             "msm_points": n_points,
+            "msm_engine": "select" if select else "bisec_group2",
             "msm_instances": n_inst,
             "msm_iters": done,
             "msm_rows_per_build": total_rows,
@@ -394,10 +402,13 @@ def main():
     # the parent past the driver's wall clock (BENCH_r02/r03 rc=124 mode).
     updated = False
     subs = []
-    if not os.environ.get("BENCH_SKIP_MSM"):
-        subs.append("msm")
+    # keccak first: warm-cache it completes in ~100s; the MSM's cold-cache
+    # compile cost is unbounded on this toolchain (BASELINE.md "MSM on TPU")
+    # so it runs last and takes whatever budget remains
     if not os.environ.get("BENCH_SKIP_KECCAK"):
         subs.append("keccak")
+    if not os.environ.get("BENCH_SKIP_MSM"):
+        subs.append("msm")
     for i, name in enumerate(subs):
         remaining = _remaining(deadline)
         if remaining < 45:
