@@ -7,13 +7,15 @@ keeps only nodes needed for captured cells / outputs / assumption checks.
 Auto-vectorization: big templates (keccak rounds: ~30k 1-bit gate nodes;
 scalar decomposition: hundreds of identical bit rows) would otherwise lower
 to one XLA op chain PER NODE — graphs whose compile time dominates
-everything. _vector_plan groups same-shaped nodes (same op/const/widths) at
-the same dataflow depth and executes each group as ONE batched limb op over
-a [B, G, L] tensor; group values live in per-width slot buffers that later
-ops gather from (XLA gathers with static index arrays). The lowered graph
-shrinks from O(nodes) to O(levels x distinct op shapes) — a keccak round
-drops from ~30k chains to ~200 tensor ops. Bit-exact with the scalar
-lowering: the same kernels run on reshaped operands.
+everything. _vector_plan groups same-shaped nodes (same op/const/widths,
+_base_key) by RANK — rank increments only across group-eligible producers,
+so same-shaped work from interleaved chains merges into one group — and
+executes each group as ONE batched limb op over a [B, G, L] tensor; group
+values live in per-width slot buffers that later ops gather from (XLA
+gathers with static index arrays). The lowered graph shrinks from O(nodes)
+to O(ranks x distinct op shapes) — a keccak round drops from ~30k chains to
+~200 tensor ops. Bit-exact with the scalar lowering: the same kernels run
+on reshaped operands.
 """
 
 from __future__ import annotations

@@ -29,9 +29,21 @@ Design (all Mosaic-friendly, nothing the TPU lowering rejects):
 Bit-exactness against the XLA evaluator path is tested by running the SAME
 kernel body over numpy ref shims (reference_call — Pallas interpret mode is
 far too slow for a 20k-op kernel body; tests/test_tape_pallas.py). Supported
-ops cover the integer-chip tapes (input/const/add/sub/mul/mulc/mod/div/shr/
-andmask/assume). Tapes using gather/pick/input_vec/inv/powm fall back to the
-XLA path.
+ops cover every tape the symbolic tracer emits: the integer-chip core
+(input/const/add/sub/mul/mulc/mod/div/shr/andmask/assume), vector inputs
+(input_vec/pick), data-dependent candidate selection (gather — a select
+tree matching XLA's clamping take), and modular exponentiation (inv/powm —
+the Fermat-inversion nodes inside every EC-addition slope witness,
+ecc_chip.rs:840-882): a square-and-multiply `lax.fori_loop` whose
+compile-time-constant exponent bit schedule is read from SMEM via scalar
+prefetch, so the MSM window/final-step templates (ecc_chip.rs:223-371) run
+in ONE Pallas kernel instead of the 70 MB XLA executables that compile for
+12-60+ min each through the remote toolchain.
+
+When the per-tile output block would blow the ~16 MB scoped VMEM, the batch
+tile W auto-shrinks (128 -> 8 by powers of two) before falling back to the
+XLA path — big templates (MSM window steps ~840 cells, scalar decompose
+~1900 cells) fit at W=32/16 with zero waste at MSM-phase batch sizes.
 """
 
 from __future__ import annotations
@@ -46,9 +58,17 @@ import numpy as np
 from . import ff_jax as ff
 
 MASK = 0xFFFF
+
+# array module the kernel body's explicit array constructors use: jnp under
+# Pallas tracing, numpy in the reference shim (keeps the oracle pure numpy —
+# independent of JAX AND ~1000x faster than per-op eager JAX dispatch on the
+# 253-iteration Fermat chains)
+_xp = jnp
+
 SUPPORTED_OPS = {
     "input", "const", "add", "sub", "mul", "mulc", "mod", "div",
     "shr", "andmask", "assume",
+    "input_vec", "pick", "gather", "inv", "powm",
 }
 
 
@@ -83,7 +103,7 @@ def _is_lit(x) -> bool:
 
 def _materialise(v: _Val, shape):
     return [
-        jnp.full(shape, l, jnp.uint32) if _is_lit(l) else l for l in v.limbs
+        _xp.full(shape, l, _xp.uint32) if _is_lit(l) else l for l in v.limbs
     ]
 
 
@@ -139,13 +159,9 @@ def _sub(a: _Val, b: _Val):
     for k in range(La):
         x = a.limbs[k]
         y = b.limbs[k] if k < b.width() else 0
-        t = x + ((1 << 16) - (y if not _is_lit(y) else y)) - bor
-        if _is_lit(t):
-            outs.append(t & MASK)
-            bor = 1 - (t >> 16)
-        else:
-            outs.append(t & MASK)
-            bor = 1 - (t >> 16)
+        t = x + ((1 << 16) - y) - bor
+        outs.append(t & MASK)
+        bor = 1 - (t >> 16)
     return _Val(outs), bor
 
 
@@ -167,10 +183,7 @@ def _mul_raw(a: _Val, b: _Val, out_len: int):
             if k >= out_len:
                 continue
             prod = ai * bj
-            if _is_lit(prod):
-                lo, hi = prod & MASK, prod >> 16
-            else:
-                lo, hi = prod & MASK, prod >> 16
+            lo, hi = prod & MASK, prod >> 16
             raw[k] = lo if _is_lit(raw[k]) and raw[k] == 0 else raw[k] + lo
             bounds[k] += MASK
             if k + 1 < out_len:
@@ -209,9 +222,9 @@ def _select(cond, a: _Val, b: _Val) -> _Val:
         if _is_lit(x) and _is_lit(y) and x == y:
             outs.append(x)
         else:
-            xx = x if not _is_lit(x) else jnp.full(c.shape, x, jnp.uint32)
-            yy = y if not _is_lit(y) else jnp.full(c.shape, y, jnp.uint32)
-            outs.append(jnp.where(c, xx, yy))
+            xx = x if not _is_lit(x) else _xp.full(c.shape, x, _xp.uint32)
+            yy = y if not _is_lit(y) else _xp.full(c.shape, y, _xp.uint32)
+            outs.append(_xp.where(c, xx, yy))
     return _Val(outs)
 
 
@@ -229,7 +242,7 @@ def _extract_bits(v: _Val, start: int, width: int) -> _Val:
         rem = width - k * 16
         if rem < 16:
             lo = lo & ((1 << rem) - 1)
-        outs.append(lo & MASK if not _is_lit(lo) else lo & MASK)
+        outs.append(lo & MASK)
     return _Val(outs)
 
 
@@ -296,6 +309,7 @@ class _Ref:
 
 def build_slab_kernel(
     tmpl, W: int = 128, reference: bool = False, with_outputs: bool = False,
+    interpret: bool = False,
 ):
     """Build fn(inputs: {name: u32[B, 16]}) -> {ridx: u32[B, stride, n_adv,
     8]} computing the template's packed advice slabs in ONE Pallas kernel
@@ -363,30 +377,103 @@ def build_slab_kernel(
             row_of[("vec", i)] = val_rows
             val_rows += 16 * len(g)
 
-    # VMEM gate: the per-tile OUTPUT blocks live in scoped VMEM (~16 MB on
-    # v5e); big templates (scalar decompose: ~1900 cells/instance) blow it
-    # ("Ran out of memory in memory space vmem ... scoped allocation").
-    # Estimate and fall back to the XLA path when it cannot fit.
+    # assume_equal_const wider than the value's natural limb width: the XLA
+    # evaluator flags such a lane as diverged; the kernel's runtime assert
+    # would crash emitter construction instead — pre-check here and fall
+    # back to the XLA path (loud failures stay reserved for genuinely
+    # exactness-breaking bounds like carry overflow).
+    for aec_nid, aec_const in tape.assume_equal_const:
+        if aec_const >> (16 * _limbs(nodes[aec_nid].bits)):
+            import sys
+
+            print(
+                "# tape_pallas: assume_equal_const wider than node width "
+                f"(node {aec_nid}); using the XLA path",
+                file=sys.stderr,
+            )
+            return None
+
+    # VMEM gate + tile auto-fit: the per-tile OUTPUT blocks live in scoped
+    # VMEM (~16 MB on v5e); big templates (MSM window steps ~840
+    # cells/instance, scalar decompose ~1900) blow it at W=128 ("Ran out of
+    # memory in memory space vmem ... scoped allocation"). out_bytes scales
+    # linearly with W, so shrink the tile until it fits (small W costs lane
+    # utilisation, not correctness — and MSM-phase batches are ~100-300
+    # lanes, where a 256-lane tile wastes nothing); only fall back to the
+    # XLA path if even W=8 cannot fit.
     out_rows = sum(
         rinfo[r][0] * rinfo[r][1] * 8 for r in regions
     ) + val_rows + (2 if with_outputs else 0)
-    out_bytes = out_rows * 8 * W * 4
+
+    def _limb_count(node):
+        if node.op == "input_vec":
+            K_, vbits = node.const
+            return K_ * _limbs(vbits)
+        return _limbs(node.bits)
+
     # live tape values share VMEM too; rough upper estimate by total widths
-    val_bytes = sum(
-        _limbs(nodes_bits) * 8 * W * 4
-        for nodes_bits in (tape.nodes[n].bits for n in order)
-    )
-    if out_bytes > 12 << 20 or out_bytes + val_bytes // 4 > 48 << 20:
+    val_units = sum(_limb_count(tape.nodes[n]) for n in order)
+
+    def _fits(w: int) -> bool:
+        ob = out_rows * 8 * w * 4
+        vb = val_units * 8 * w * 4
+        return ob <= 12 << 20 and ob + vb // 4 <= 48 << 20
+
+    for cand_w in (W, 64, 32, 16, 8):
+        if cand_w <= W and _fits(cand_w):
+            W = cand_w
+            break
+    else:
         return None
 
+    # modular-exponentiation schedule (inv/powm): MSB-first square-and-
+    # multiply over a compile-time-constant exponent. The bit schedule
+    # (deduped by exponent — every bn254-Fq Fermat inverse shares one
+    # block) is passed to the Pallas kernel as a scalar-prefetch SMEM
+    # array and indexed by the fori_loop counter; the reference shim loops
+    # over the same static bits in Python.
+    pow_bits: Dict[int, List[int]] = {}
+    sched_off: Dict[int, int] = {}
+    sched_list: List[int] = []
+    for n in order:
+        node = nodes[n]
+        if node.op not in ("inv", "powm"):
+            continue
+        e = node.const - 2 if node.op == "inv" else node.const[0]
+        if e < 2:
+            pow_bits[e] = []
+            continue
+        if e in pow_bits:
+            continue
+        bits_e = [(e >> i) & 1 for i in range(e.bit_length() - 2, -1, -1)]
+        pow_bits[e] = bits_e
+        sched_off[e] = len(sched_list)
+        sched_list.extend(bits_e)
+    sched_arr = (
+        np.asarray(sched_list, dtype=np.int32) if sched_list else None
+    )
+    use_sched = sched_arr is not None and not reference
+
     def kernel(*refs):
+        if use_sched:
+            sched_ref, refs = refs[0], refs[1:]
+        else:
+            sched_ref = None
         in_refs = refs[: len(tape.inputs)]
         out_refs = refs[len(tape.inputs):]
         shape = in_refs[0][0].shape  # [8, W]
         vals: Dict[int, _Val] = {}
+        vec_refs: Dict[int, Tuple] = {}  # input_vec nid -> (ref, K, Lv)
         name_ref = {}
         for (nid, name, bits), ref in zip(tape.inputs, in_refs):
             name_ref[name] = ref
+
+        def modmul(m: int, k: int, x: _Val, y: _Val) -> _Val:
+            """(x*y) mod m for x,y < 2^(16k) — the same width-sized Barrett
+            the evaluator's mul_mod chains perform."""
+            t = _mul(x, y, 2 * k)
+            _, r = _div_rem(t, m, 2 * k, max(k + 2, 1))
+            return r
 
         for nid in order:
             node = nodes[nid]
@@ -398,6 +485,75 @@ def build_slab_kernel(
                 vals[nid] = _Val(
                     [ref[k] for k in range(min(L, La))] + [0] * max(L - La, 0)
                 )
+            elif op == "input_vec":
+                K_, vbits = node.const
+                ref = name_ref[input_names[nid]]
+                vec_refs[nid] = (ref, K_, ref.shape[0] // K_)
+            elif op == "pick":
+                ref, K_, Lv = vec_refs[node.args[0]]
+                L = _limbs(node.bits)
+                k0 = node.const * Lv
+                vals[nid] = _Val(
+                    [ref[k0 + j] for j in range(min(Lv, L))]
+                    + [0] * max(L - Lv, 0)
+                )
+            elif op == "gather":
+                # values[idx] per lane, idx < K on honest traces; built as a
+                # select tree seeded with the LAST candidate so out-of-range
+                # indices clamp exactly like the evaluator's XLA take
+                *vids, idx_id = node.args
+                L = _limbs(node.bits)
+                cands = [_pad(vals[v], L) for v in vids]
+                idx = vals[idx_id].limbs[0]
+                out = cands[-1]
+                for kk in range(len(cands) - 2, -1, -1):
+                    cond = (
+                        int(idx == kk) if _is_lit(idx) else idx == kk
+                    )
+                    out = _select(cond, cands[kk], out)
+                vals[nid] = out
+            elif op in ("inv", "powm"):
+                if op == "inv":
+                    e, m = node.const - 2, node.const
+                else:
+                    e, m = node.const
+                k = ff.n_limbs_for(m)
+                base = _pad(vals[node.args[0]], k)
+                L = _limbs(node.bits)
+                if e == 0:
+                    vals[nid] = _pad(_lit_val(1, 1), L)
+                elif e == 1:
+                    # mirror pow_mod's e=1: one reduction to canonical
+                    _, r = _div_rem(base, m, k, max(2, 1))
+                    vals[nid] = _pad(r, L)
+                else:
+                    bits_e = pow_bits[e]
+                    if sched_ref is None:
+                        # reference shim: static Python loop, op-for-op the
+                        # sequence the fori_loop body performs per bit
+                        acc = base
+                        for bit in bits_e:
+                            acc = modmul(m, k, acc, acc)
+                            if bit:
+                                acc = modmul(m, k, acc, base)
+                        vals[nid] = _pad(acc, L)
+                    else:
+                        off = sched_off[e]
+                        base_m = tuple(_materialise(base, shape))
+
+                        def pow_body(i, acc_limbs, _off=off, _m=m, _k=k,
+                                     _base=base_m):
+                            acc = _Val(list(acc_limbs))
+                            sq = modmul(_m, _k, acc, acc)
+                            t = modmul(_m, _k, sq, _Val(list(_base)))
+                            bit = sched_ref[_off + i]
+                            out = _select(bit == 1, t, sq)
+                            return tuple(_materialise(out, shape))
+
+                        acc = jax.lax.fori_loop(
+                            0, len(bits_e), pow_body, base_m
+                        )
+                        vals[nid] = _pad(_Val(list(acc)), L)
             elif op == "const":
                 vals[nid] = _lit_val(node.const, _limbs(node.bits))
             elif op == "add":
@@ -459,7 +615,7 @@ def build_slab_kernel(
                 for k in range(16):
                     l = v.limbs[k]
                     vref[base_row + k] = (
-                        jnp.full(shape, l, jnp.uint32) if _is_lit(l) else l
+                        _xp.full(shape, l, _xp.uint32) if _is_lit(l) else l
                     )
 
             for nid in out_nids:
@@ -468,7 +624,7 @@ def build_slab_kernel(
                 for j, nid in enumerate(g):
                     write_val(row_of[("vec", i)] + 16 * j, vals[nid])
 
-            zero = jnp.zeros(shape, jnp.uint32)
+            zero = _xp.zeros(shape, _xp.uint32)
             div_mask = zero
             for nid, const_v in aec:
                 v = vals[nid]
@@ -477,9 +633,9 @@ def build_slab_kernel(
                     l = v.limbs[k]
                     if _is_lit(l):
                         if l != want:
-                            div_mask = div_mask | jnp.uint32(1)
+                            div_mask = div_mask | _xp.uint32(1)
                     else:
-                        div_mask = div_mask | (l != want).astype(jnp.uint32)
+                        div_mask = div_mask | (l != want).astype(_xp.uint32)
                 assert const_v >> (16 * v.width()) == 0, (nid, const_v)
             wid_mask = zero
             for nid, kbits in achk:
@@ -489,17 +645,17 @@ def build_slab_kernel(
                     l = v.limbs[k]
                     if _is_lit(l):
                         if l != 0:
-                            wid_mask = wid_mask | jnp.uint32(1)
+                            wid_mask = wid_mask | _xp.uint32(1)
                     else:
-                        wid_mask = wid_mask | (l != 0).astype(jnp.uint32)
+                        wid_mask = wid_mask | (l != 0).astype(_xp.uint32)
                 rem = kbits % 16
                 if rem and L - 1 < v.width():
                     l = v.limbs[L - 1]
                     if _is_lit(l):
                         if l >> rem:
-                            wid_mask = wid_mask | jnp.uint32(1)
+                            wid_mask = wid_mask | _xp.uint32(1)
                     else:
-                        wid_mask = wid_mask | (l >> rem != 0).astype(jnp.uint32)
+                        wid_mask = wid_mask | (l >> rem != 0).astype(_xp.uint32)
             fref[0] = div_mask
             fref[1] = wid_mask
 
@@ -513,33 +669,42 @@ def build_slab_kernel(
                     nid = cap.get((r, c))
                     if nid is None:
                         for k in range(8):
-                            out_ref[cell * 8 + k] = jnp.full(
-                                shape, int(const[r, c, k]), jnp.uint32
+                            out_ref[cell * 8 + k] = _xp.full(
+                                shape, int(const[r, c, k]), _xp.uint32
                             )
                     else:
                         v = _pad(vals[nid], 16)
                         for k in range(8):
                             lo, hi = v.limbs[2 * k], v.limbs[2 * k + 1]
                             if _is_lit(lo) and _is_lit(hi):
-                                out_ref[cell * 8 + k] = jnp.full(
-                                    shape, lo | (hi << 16), jnp.uint32
+                                out_ref[cell * 8 + k] = _xp.full(
+                                    shape, lo | (hi << 16), _xp.uint32
                                 )
                             else:
-                                lo = lo if not _is_lit(lo) else jnp.full(shape, lo, jnp.uint32)
+                                lo = lo if not _is_lit(lo) else _xp.full(shape, lo, _xp.uint32)
                                 p = lo if _is_lit(hi) and hi == 0 else lo | (
-                                    (hi if not _is_lit(hi) else jnp.full(shape, hi, jnp.uint32)) << 16
+                                    (hi if not _is_lit(hi) else _xp.full(shape, hi, _xp.uint32)) << 16
                                 )
                                 out_ref[cell * 8 + k] = p
 
     from jax.experimental import pallas as pl
 
     def _reference_call(inputs):
-        B = next(iter(inputs.values())).shape[0]
-        assert B % (8 * W) == 0, (B, W)
+        B0 = next(iter(inputs.values())).shape[0]
+        tile = 8 * W
+        B = -(-B0 // tile) * tile  # pad up, mirroring call(): lane 0
+        # replicated (valid values -> no spurious divergence flags)
         Bs = B // 8
         prep = []
         for nid, name, bits in tape.inputs:
             arr = np.asarray(inputs[name])
+            if isinstance(bits, tuple):  # input_vec: [B, K, Lv] -> [B, K*Lv]
+                arr = arr.reshape(arr.shape[0], -1)
+            if B != B0:
+                arr = np.concatenate(
+                    [arr, np.broadcast_to(arr[:1], (B - B0,) + arr.shape[1:])],
+                    axis=0,
+                )
             La = arr.shape[-1]
             prep.append(
                 np.ascontiguousarray(arr.T).reshape(La, 8, Bs)
@@ -552,12 +717,17 @@ def build_slab_kernel(
             if val_rows:
                 outs.append(np.zeros((val_rows, 8, Bs), np.uint32))
             outs.append(np.zeros((2, 8, Bs), np.uint32))
-        for t in range(Bs // W):
-            sl = slice(t * W, (t + 1) * W)
-            refs = [_Ref(a[:, :, sl]) for a in prep] + [
-                _Ref(o[:, :, sl]) for o in outs
-            ]
-            kernel(*refs)
+        global _xp
+        _xp_saved, _xp = _xp, np  # pure-numpy oracle (see _xp note above)
+        try:
+            for t in range(Bs // W):
+                sl = slice(t * W, (t + 1) * W)
+                refs = [_Ref(a[:, :, sl]) for a in prep] + [
+                    _Ref(o[:, :, sl]) for o in outs
+                ]
+                kernel(*refs)
+        finally:
+            _xp = _xp_saved
         slabs = {}
         for ridx, o in zip(regions, outs[: len(regions)]):
             stride, n_adv, _c, _cap = rinfo[ridx]
@@ -565,13 +735,15 @@ def build_slab_kernel(
             t = o.reshape(S, 8, 8, Bs)
             slabs[ridx] = np.ascontiguousarray(
                 t.transpose(2, 3, 0, 1)
-            ).reshape(B, stride, n_adv, 8)
+            ).reshape(B, stride, n_adv, 8)[:B0]
         if not with_outputs:
             return slabs
         extra = outs[len(regions):]
         vo = extra[0] if val_rows else None
         fo = extra[-1]
-        outvals = _assemble_outvals(vo, B, Bs, np)
+        outvals = {
+            k: v[:B0] for k, v in _assemble_outvals(vo, B, Bs, np).items()
+        }
         flags = {
             "diverged": bool(fo[0].any()),
             "width_bad": bool(fo[1].any()),
@@ -603,10 +775,19 @@ def build_slab_kernel(
         # values -> no spurious divergence flags; padded lanes sliced off)
         Bs = B // 8
         grid = (Bs // W,)
+        # index maps take an extra trailing arg per scalar-prefetch operand
+        if use_sched:
+            def _imap(i, _s):
+                return (0, 0, i)
+        else:
+            def _imap(i):
+                return (0, 0, i)
         prep = []
         in_specs = []
         for nid, name, bits in tape.inputs:
-            arr = jnp.asarray(inputs[name])  # [B0, La]
+            arr = jnp.asarray(inputs[name])  # [B0, La] / [B0, K, Lv]
+            if isinstance(bits, tuple):  # input_vec -> flat [B0, K*Lv]
+                arr = arr.reshape(arr.shape[0], -1)
             if B != B0:
                 fill = jnp.broadcast_to(arr[:1], (B - B0,) + arr.shape[1:])
                 arr = jnp.concatenate([arr, fill], axis=0)
@@ -614,7 +795,7 @@ def build_slab_kernel(
             # [B, L] -> [L, 8, B//8]; b = s * (B//8) + w
             a = jnp.transpose(arr, (1, 0)).reshape(La, 8, Bs)
             prep.append(a)
-            in_specs.append(pl.BlockSpec((La, 8, W), lambda i: (0, 0, i)))
+            in_specs.append(pl.BlockSpec((La, 8, W), _imap))
         out_shapes = []
         out_specs = []
         for ridx in regions:
@@ -623,24 +804,41 @@ def build_slab_kernel(
             out_shapes.append(
                 jax.ShapeDtypeStruct((S * 8, 8, Bs), jnp.uint32)
             )
-            out_specs.append(pl.BlockSpec((S * 8, 8, W), lambda i: (0, 0, i)))
+            out_specs.append(pl.BlockSpec((S * 8, 8, W), _imap))
         if with_outputs:
             if val_rows:
                 out_shapes.append(
                     jax.ShapeDtypeStruct((val_rows, 8, Bs), jnp.uint32)
                 )
                 out_specs.append(
-                    pl.BlockSpec((val_rows, 8, W), lambda i: (0, 0, i))
+                    pl.BlockSpec((val_rows, 8, W), _imap)
                 )
             out_shapes.append(jax.ShapeDtypeStruct((2, 8, Bs), jnp.uint32))
-            out_specs.append(pl.BlockSpec((2, 8, W), lambda i: (0, 0, i)))
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shapes,
-        )(*prep)
+            out_specs.append(pl.BlockSpec((2, 8, W), _imap))
+        if use_sched:
+            from jax.experimental.pallas import tpu as pltpu
+
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(jnp.asarray(sched_arr), *prep)
+        else:
+            outs = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(*prep)
         slabs = {}
         for ridx, o in zip(regions, outs[: len(regions)]):
             stride, n_adv, _c, _cap = rinfo[ridx]

@@ -1,0 +1,525 @@
+"""Golden layout fixtures: pin the scalar path's row-for-row witness-table
+layout to the Rust reference.
+
+Rust is unavailable in this image, so these fixtures are derived BY READING
+the reference sources: `_Golden` below re-implements the reference's row
+emission literally — every method cites the `/root/reference` file:line it
+transcribes — writing into plain {(row, col): value} dicts. It shares NO
+code with `halo2ecc_s_tpu` (parameters are recomputed inline from
+range_info.rs's formulas; emission order follows the Rust statement order).
+The tests then run the framework's scalar path on the same inputs and
+compare every assigned cell AND the permutation list — cell-for-cell
+bit-exactness evidence, not just verifier-cleanliness.
+
+Anchor cells (tags, acc_lines, fixed coefficient patterns, row counts) are
+additionally asserted as hand-written literals so a bug that corrupted both
+sides identically through a shared misreading of e.g. decompose order would
+still need to reproduce the literal numbers.
+"""
+
+import numpy as np
+
+from halo2ecc_s_tpu.core.context import Context
+from halo2ecc_s_tpu.core.records import (
+    RANGE_COL_COMMON,
+    RANGE_COL_TAGGED,
+    RANGE_COL_VALUE_ACC,
+    RANGE_FIX_ACC_LINES,
+    RANGE_FIX_TAG,
+    VAR_COLUMNS,
+)
+from halo2ecc_s_tpu.ops.integer_ops import IntegerContext
+from halo2ecc_s_tpu.utils.fields import BN254_FQ, BN254_FR
+
+# ---------------------------------------------------------------------------
+# golden oracle, transcribed from the Rust reference
+# ---------------------------------------------------------------------------
+
+COMMON_BITS = 18  # range_chip.rs:23 COMMON_RANGE_BITS
+RANGE_VALUE_DECOMPOSE = 6  # range_chip.rs:25 (MAX_CHUNKS * RANGE_CHIP_RANGE_COLUMNS)
+OVERFLOW_BITS = 6  # context.rs:38
+LIMB_BITS = COMMON_BITS * RANGE_VALUE_DECOMPOSE  # range_info.rs:100 -> 108
+
+
+def _leading_bits_and_decompose(bits: int) -> tuple:
+    """range_info.rs:57-75 bits_to_leading_bits_and_decompose."""
+    common_limb_bits = RANGE_VALUE_DECOMPOSE * COMMON_BITS
+    leading_bits = (
+        common_limb_bits if bits % common_limb_bits == 0 else bits % common_limb_bits
+    )
+    assert leading_bits >= 2 * COMMON_BITS
+    assert leading_bits <= RANGE_VALUE_DECOMPOSE * COMMON_BITS
+    leading_chunk_bits = leading_bits % COMMON_BITS
+    if leading_chunk_bits == 0:
+        return COMMON_BITS, leading_bits // COMMON_BITS
+    return leading_chunk_bits, leading_bits // COMMON_BITS + 1
+
+
+class _Params:
+    """range_info.rs:77-182 RangeInfo::new, recomputed inline."""
+
+    def __init__(self, w_modulus: int, n_modulus: int):
+        self.w = w_modulus
+        self.n = n_modulus
+        w_max = w_modulus - 1
+        self.w_ceil_bits = w_max.bit_length()  # range_info.rs:83
+        _, self.w_ceil_leading_decompose = _leading_bits_and_decompose(
+            self.w_ceil_bits
+        )
+        n_floor_bits = (n_modulus - 1).bit_length() - 1  # range_info.rs:90
+        self.d_bits = self.w_ceil_bits + OVERFLOW_BITS * 2 + 1  # range_info.rs:306
+        _, self.d_leading_decompose = _leading_bits_and_decompose(self.d_bits)
+        self.limb_bits = LIMB_BITS
+        self.limbs = (self.w_ceil_bits + LIMB_BITS - 1) // LIMB_BITS
+        self.limb_mask = (1 << LIMB_BITS) - 1
+        self.limb_modulus = 1 << LIMB_BITS
+        self.w_native = w_modulus % n_modulus  # range_info.rs:107
+        # range_info.rs:140-144 limb_coeffs = 2^(limb_bits * i) mod n
+        self.limb_coeffs = [
+            pow(2, LIMB_BITS * i, n_modulus) for i in range(self.limbs)
+        ]
+        # range_info.rs:109-116 w_modulus_limbs_le
+        self.w_modulus_limbs_le = [
+            (w_modulus >> (i * LIMB_BITS)) & self.limb_mask
+            for i in range(self.limbs)
+        ]
+        # range_info.rs:163-167 mul_check_limbs
+        self.mul_check_limbs = (
+            max(self.w_ceil_bits * 2 + OVERFLOW_BITS * 2, self.d_bits + self.w_ceil_bits)
+            - n_floor_bits
+            + LIMB_BITS
+            - 1
+        ) // LIMB_BITS
+
+
+class _Golden:
+    """The reference's Records emission, transcribed. Tables are
+    {(row, col): value mod n}; permutations are ((region, col, row) pairs)
+    in push order."""
+
+    def __init__(self, params: _Params):
+        self.p = params
+        self.base_adv = {}
+        self.base_fix = {}
+        self.range_adv = {}
+        self.range_fix = {}
+        self.base_offset = 0
+        self.range_offset = 0
+        self.permutations = []
+
+    # -- context.rs:634-714 --
+
+    def one_line(self, pairs, constant, mul_next):
+        """pairs: [(value-or-(value, cell)), coeff]; context.rs:634-682."""
+        off = self.base_offset
+        assert len(pairs) <= VAR_COLUMNS
+        for i, (base, coeff) in enumerate(pairs):
+            if isinstance(base, tuple):
+                val, cell = base
+                self.permutations.append((cell, ("base", i, off)))
+            else:
+                val = base
+            self.base_adv[(off, i)] = val % self.p.n
+            self.base_fix[(off, i)] = coeff % self.p.n
+        mul_coeffs, next_coeff = mul_next
+        for i, mc in enumerate(mul_coeffs):
+            self.base_fix[(off, VAR_COLUMNS + i)] = mc % self.p.n
+        if next_coeff is not None:
+            self.base_fix[(off, VAR_COLUMNS + 2)] = next_coeff % self.p.n
+        if constant is not None:
+            self.base_fix[(off, VAR_COLUMNS + 3)] = constant % self.p.n
+
+    def one_line_with_last(self, pairs, tail, constant, mul_next):
+        """context.rs:685-714: one_line + tail in col VAR_COLUMNS-1."""
+        off = self.base_offset
+        self.one_line(pairs, constant, mul_next)
+        base, coeff = tail
+        i = VAR_COLUMNS - 1
+        if isinstance(base, tuple):
+            val, cell = base
+            self.permutations.append((cell, ("base", i, off)))
+        else:
+            val = base
+        self.base_adv[(off, i)] = val % self.p.n
+        self.base_fix[(off, i)] = coeff % self.p.n
+        self.base_offset += 1  # caller-side offset bump (base_chip.rs:509-515)
+        return val % self.p.n, ("base", i, off)
+
+    # -- context.rs:835-997 range rows --
+
+    def assign_one_line_range_value(self, v, v_acc, bits):
+        """context.rs:835-855."""
+        off = self.range_offset
+        self.range_fix[(off, RANGE_FIX_ACC_LINES)] = 1
+        self.range_fix[(off, RANGE_FIX_TAG)] = bits
+        self.range_adv[(off, RANGE_COL_TAGGED)] = v[0]
+        self.range_adv[(off, RANGE_COL_VALUE_ACC)] = v_acc % self.p.n
+        self.range_offset += 1
+        return v_acc % self.p.n, ("range", RANGE_COL_VALUE_ACC, off)
+
+    def assign_two_line_range_value(self, v, v_acc, bits):
+        """context.rs:857-903."""
+        off = self.range_offset
+        assert 2 * COMMON_BITS <= bits <= 4 * COMMON_BITS
+        self.range_fix[(off, RANGE_FIX_ACC_LINES)] = 2
+        self.range_adv[(off, RANGE_COL_COMMON)] = v[0]
+        self.range_adv[(off + 1, RANGE_COL_COMMON)] = v[1]
+        cell_bits = (
+            COMMON_BITS if bits >= 3 * COMMON_BITS else bits % COMMON_BITS
+        )
+        self.range_fix[(off, RANGE_FIX_TAG)] = cell_bits
+        self.range_adv[(off, RANGE_COL_TAGGED)] = v[2]
+        cell_bits = bits - 3 * COMMON_BITS if bits > 3 * COMMON_BITS else 0
+        self.range_fix[(off + 1, RANGE_FIX_TAG)] = cell_bits
+        self.range_adv[(off + 1, RANGE_COL_TAGGED)] = v[3]
+        self.range_adv[(off, RANGE_COL_VALUE_ACC)] = v_acc % self.p.n
+        self.range_offset += 2
+        return v_acc % self.p.n, ("range", RANGE_COL_VALUE_ACC, off)
+
+    def assign_three_line_range_value(self, v, v_acc, bits):
+        """context.rs:905-972."""
+        off = self.range_offset
+        assert 3 * COMMON_BITS <= bits <= 6 * COMMON_BITS
+        self.range_fix[(off, RANGE_FIX_ACC_LINES)] = 3
+        for i in range(3):
+            self.range_adv[(off + i, RANGE_COL_COMMON)] = v[i]
+        cell_bits = (
+            COMMON_BITS if bits >= 4 * COMMON_BITS else bits % COMMON_BITS
+        )
+        self.range_fix[(off, RANGE_FIX_TAG)] = cell_bits
+        self.range_adv[(off, RANGE_COL_TAGGED)] = v[3]
+        if bits >= 5 * COMMON_BITS:
+            cell_bits = COMMON_BITS
+        elif bits > 4 * COMMON_BITS:
+            cell_bits = bits % COMMON_BITS
+        else:
+            cell_bits = 0
+        self.range_fix[(off + 1, RANGE_FIX_TAG)] = cell_bits
+        self.range_adv[(off + 1, RANGE_COL_TAGGED)] = v[4]
+        cell_bits = bits - 5 * COMMON_BITS if bits > 5 * COMMON_BITS else 0
+        self.range_fix[(off + 2, RANGE_FIX_TAG)] = cell_bits
+        self.range_adv[(off + 2, RANGE_COL_TAGGED)] = v[5]
+        self.range_adv[(off, RANGE_COL_VALUE_ACC)] = v_acc % self.p.n
+        self.range_offset += 3
+        return v_acc % self.p.n, ("range", RANGE_COL_VALUE_ACC, off)
+
+    def assign_range_value(self, v, v_acc, bits):
+        """context.rs:974-997."""
+        if bits <= COMMON_BITS:
+            return self.assign_one_line_range_value(v, v_acc, bits)
+        if bits <= 4 * COMMON_BITS:
+            v = v + [0] * (4 - len(v))
+            return self.assign_two_line_range_value(v, v_acc, bits)
+        assert bits <= 6 * COMMON_BITS
+        v = v + [0] * (6 - len(v))
+        return self.assign_three_line_range_value(v, v_acc, bits)
+
+    # -- range_chip.rs:270-348 RangeChipOps --
+
+    @staticmethod
+    def decompose_bn(bn, decompose):
+        """range_chip.rs:270-280."""
+        mask = (1 << COMMON_BITS) - 1
+        return [(bn >> (i * COMMON_BITS)) & mask for i in range(decompose)]
+
+    def assign_common(self, bn):
+        """range_chip.rs:287-299."""
+        return self.assign_one_line_range_value([bn], bn, COMMON_BITS)
+
+    def assign_nonleading_limb(self, bn):
+        """range_chip.rs:301-316: MAX_CHUNKS * RANGE_CHIP_RANGE_COLUMNS = 6
+        chunks, bits = limb_bits."""
+        v = self.decompose_bn(bn, RANGE_VALUE_DECOMPOSE)
+        return self.assign_range_value(v, bn, LIMB_BITS)
+
+    def assign_w_ceil_leading_limb(self, bn):
+        """range_chip.rs:318-333."""
+        v = self.decompose_bn(bn, self.p.w_ceil_leading_decompose)
+        return self.assign_range_value(v, bn, self.p.w_ceil_bits % LIMB_BITS)
+
+    def assign_d_leading_limb(self, bn):
+        """range_chip.rs:335-347."""
+        v = self.decompose_bn(bn, self.p.d_leading_decompose)
+        return self.assign_range_value(v, bn, self.p.d_bits % LIMB_BITS)
+
+    # -- base_chip.rs:110-153 sums --
+
+    def sum_with_constant_in_one_line(self, elems, constant):
+        """base_chip.rs:110-132; elems: [((val, cell), coeff)]."""
+        assert len(elems) < VAR_COLUMNS
+        s = sum(v * c for (v, _cell), c in elems)
+        if constant is not None:
+            s += constant
+        return self.one_line_with_last(
+            [(vc, c) for vc, c in elems], (s % self.p.n, -1), constant,
+            ([], None),
+        )
+
+    def sum_with_constant(self, elems, constant):
+        """base_chip.rs:134-153 (multi-line chaining for >4 elems)."""
+        if len(elems) < VAR_COLUMNS:
+            return self.sum_with_constant_in_one_line(elems, constant)
+        curr, tail = elems[: VAR_COLUMNS - 1], elems[VAR_COLUMNS - 1 :]
+        acc = self.sum_with_constant_in_one_line(curr, constant)
+        for i in range(0, len(tail), VAR_COLUMNS - 2):
+            chunk = tail[i : i + VAR_COLUMNS - 2]
+            acc = self.sum_with_constant_in_one_line(chunk + [(acc, 1)], None)
+        return acc
+
+    def mul_add_with_next_line(self, ls):
+        """base_chip.rs:245-281; ls: [((a, b, c) value-cell pairs, c_coeff)]."""
+        assert ls
+        if len(ls) == 1:
+            (a, b, c), c_coeff = ls[0]
+            # base_chip.rs:222-243 mul_add with ab_coeff = 1
+            d = (a[0] * b[0] + c[0] * c_coeff) % self.p.n
+            return self.one_line_with_last(
+                [(a, 0), (b, 0), (c, c_coeff)], (d, -1), None, ([1], None)
+            )
+        t = 0
+        for i, ((a, b, c), c_coeff) in enumerate(ls):
+            self.one_line_with_last(
+                [(a, 0), (b, 0), (c, c_coeff)],
+                (t, 0 if i == 0 else 1),
+                None,
+                ([1], -1),
+            )
+            t = (a[0] * b[0] + c[0] * c_coeff + t) % self.p.n
+        return self.one_line_with_last([], (t, 0), None, ([], None))
+
+    # -- integer_chip.rs --
+
+    def assign_w(self, w):
+        """integer_chip.rs:236-258."""
+        p = self.p
+        limbs = []
+        for i in range(p.limbs - 1):
+            limbs.append(
+                self.assign_nonleading_limb((w >> (i * LIMB_BITS)) & p.limb_mask)
+            )
+        limbs.append(
+            self.assign_w_ceil_leading_limb(
+                (w >> ((p.limbs - 1) * LIMB_BITS)) & p.limb_mask
+            )
+        )
+        native = self.sum_with_constant(
+            list(zip(limbs, p.limb_coeffs)), None
+        )
+        return limbs, native
+
+    def assign_d(self, d):
+        """integer_chip.rs:260-281."""
+        p = self.p
+        limbs = []
+        for i in range(p.limbs - 1):
+            limbs.append(
+                self.assign_nonleading_limb((d >> (i * LIMB_BITS)) & p.limb_mask)
+            )
+        limbs.append(
+            self.assign_d_leading_limb((d >> ((p.limbs - 1) * LIMB_BITS)) & p.limb_mask)
+        )
+        native = self.sum_with_constant(list(zip(limbs, p.limb_coeffs)), None)
+        return limbs, native
+
+    def add_constraints_for_mul_equation_on_limbs(self, a, b, d, rem):
+        """integer_chip.rs:73-193 (a/b/rem: lists of limb value-cell pairs)."""
+        p = self.p
+        limbs = []
+        for pos in range(p.mul_check_limbs):
+            r_bound = min(pos + 1, p.limbs)
+            l_bound = max(pos - (p.limbs - 1), 0)
+            l = self.mul_add_with_next_line(
+                [
+                    ((a[i], b[pos - i], d[i]), -p.w_modulus_limbs_le[pos - i])
+                    for i in range(l_bound, r_bound)
+                ]
+            )
+            limbs.append(l)
+        borrow = p.limbs * p.limb_modulus + 2  # integer_chip.rs:113
+        v_h = v_l = None
+        for i in range(p.mul_check_limbs):
+            if i == 0:
+                u = self.sum_with_constant(
+                    [(limbs[0], 1), (rem[0], -1)], p.limb_modulus * borrow
+                )
+            elif i < p.limbs:
+                u = self.sum_with_constant(
+                    [
+                        (limbs[i], 1),
+                        (rem[i], -1),
+                        (v_h, p.limb_coeffs[1]),
+                        (v_l, p.limb_coeffs[0]),
+                    ],
+                    p.limb_modulus * borrow - borrow,
+                )
+            else:
+                u = self.sum_with_constant(
+                    [(limbs[i], 1), (v_h, p.limb_coeffs[1]), (v_l, p.limb_coeffs[0])],
+                    p.limb_modulus * borrow - borrow,
+                )
+            # u.val is mod n; the div_rem below runs on the FIELD value
+            # (field_to_bn(&u.val), integer_chip.rs:121)
+            uval = u[0]
+            v, r = divmod(uval, p.limb_modulus)
+            assert r == 0, "golden: carry remainder must vanish"
+            v_h_bn, v_l_bn = divmod(v, p.limb_modulus)
+            v_h = self.assign_common(v_h_bn)
+            v_l = self.assign_nonleading_limb(v_l_bn)
+            self.one_line_with_last(
+                [(v_h, p.limb_coeffs[2]), (v_l, p.limb_coeffs[1])],
+                (u, -1),
+                None,
+                ([], None),
+            )
+
+    def add_constraints_for_mul_equation_on_native(self, a_native, b_native, d_native, rem_native):
+        """integer_chip.rs:195-215."""
+        p = self.p
+        self.one_line(
+            [
+                (a_native, 0),
+                (b_native, 0),
+                (d_native, p.w_native),
+                (rem_native, 1),
+            ],
+            None,
+            ([-1], None),
+        )
+        self.base_offset += 1
+
+    def int_mul(self, a, b):
+        """integer_chip.rs:466-483; a/b: (limb pairs, native pair, int value)."""
+        p = self.p
+        a_limbs, a_native, a_bn = a
+        b_limbs, b_native, b_bn = b
+        d_bn, rem_bn = divmod(a_bn * b_bn, p.w)
+        rem_limbs, rem_native = self.assign_w(rem_bn)
+        d_limbs, d_native = self.assign_d(d_bn)
+        self.add_constraints_for_mul_equation_on_limbs(
+            a_limbs, b_limbs, d_limbs, rem_limbs
+        )
+        self.add_constraints_for_mul_equation_on_native(
+            a_native, b_native, d_native, rem_native
+        )
+        return rem_limbs, rem_native, rem_bn
+
+
+# ---------------------------------------------------------------------------
+# framework-vs-golden comparison helpers
+# ---------------------------------------------------------------------------
+
+
+def _compare(ctx: Context, golden: _Golden):
+    """Every golden cell must match the framework's Records bit-exactly, and
+    the framework must have no EXTRA assigned cells."""
+    from halo2ecc_s_tpu.core.records import limbs_to_object_ints
+
+    rec = ctx.records
+    for name, tbl, gadv, gfix in (
+        ("base", rec.base, golden.base_adv, golden.base_fix),
+        ("range", rec.range, golden.range_adv, golden.range_fix),
+    ):
+        adv = limbs_to_object_ints(tbl.adv_vals)
+        fix = limbs_to_object_ints(tbl.fix_vals)
+        for (row, col), want in gadv.items():
+            assert tbl.adv_set[row, col], (name, "adv missing", row, col)
+            got = int(adv[row, col])
+            assert got == want % golden.p.n, (
+                name, "adv", row, col, hex(got), hex(want % golden.p.n)
+            )
+        for (row, col), want in gfix.items():
+            assert tbl.fix_set[row, col], (name, "fix missing", row, col)
+            got = int(fix[row, col])
+            assert got == want % golden.p.n, (
+                name, "fix", row, col, hex(got), hex(want % golden.p.n)
+            )
+        # no extra cells: presence masks must match the golden key sets
+        set_adv = {(int(r), int(c)) for r, c in zip(*np.nonzero(tbl.adv_set))}
+        set_fix = {(int(r), int(c)) for r, c in zip(*np.nonzero(tbl.fix_set))}
+        assert set_adv == set(gadv), (
+            name, "adv cells differ", set_adv ^ set(gadv)
+        )
+        assert set_fix == set(gfix), (
+            name, "fix cells differ", set_fix ^ set(gfix)
+        )
+
+
+def test_assign_w_rows_match_reference_layout():
+    """assign_w (integer_chip.rs:236-258) row-for-row vs the golden oracle,
+    plus hand-derived literal anchors for bn254-Fq-over-Fr:
+      - limbs = 3, limb_bits = 108, w_ceil_bits = 254;
+      - nonleading limbs: 3-line acc (6 chunks of 18 bits, tags 18/18/18);
+      - leading limb: 254 % 108 = 38 bits -> 2-line acc
+        (range_info.rs:57-75: leading_bits 38, chunks 3, tags 2/0);
+      - native shadow: ONE base row l0 + l1*2^108 + l2*2^216 - native = 0.
+    """
+    w = 0x1234_5678_9ABC_DEF0_1122_3344_5566_7788_99AA_BBCC_DDEE_FF00_1234_5678
+    params = _Params(BN254_FQ, BN254_FR)
+    assert params.limbs == 3 and params.w_ceil_bits == 254
+    assert params.w_ceil_leading_decompose == 3  # 38 bits -> 3 chunks
+
+    g = _Golden(params)
+    g.assign_w(w)
+    # literal anchors: 8 range rows (3+3+2), 1 base row
+    assert g.range_offset == 8 and g.base_offset == 1
+    assert g.range_fix[(0, RANGE_FIX_ACC_LINES)] == 3
+    assert g.range_fix[(3, RANGE_FIX_ACC_LINES)] == 3
+    assert g.range_fix[(6, RANGE_FIX_ACC_LINES)] == 2
+    # nonleading tags all 18; leading limb (38 bits): tags 38%18=2 then 0
+    assert [g.range_fix[(r, RANGE_FIX_TAG)] for r in range(8)] == [
+        18, 18, 18, 18, 18, 18, 2, 0
+    ]
+    # base fix row: coeffs [1, 2^108 mod n, 2^216 mod n, -, -1]
+    assert g.base_fix[(0, 0)] == 1
+    assert g.base_fix[(0, 1)] == pow(2, 108, BN254_FR)
+    assert g.base_fix[(0, 2)] == pow(2, 216, BN254_FR)
+    assert g.base_fix[(0, 4)] == BN254_FR - 1
+    # value anchors (context.rs:905-972): row 0's COMMON col holds chunk 0
+    # = w & 0x3FFFF, its TAGGED col holds chunk 3, and ValueAcc is limb 0
+    assert g.range_adv[(0, RANGE_COL_COMMON)] == w & 0x3FFFF
+    assert g.range_adv[(0, RANGE_COL_TAGGED)] == (w >> 54) & 0x3FFFF
+    assert g.range_adv[(0, RANGE_COL_VALUE_ACC)] == w & ((1 << 108) - 1)
+
+    ctx = Context(BN254_FR)
+    ictx = IntegerContext(ctx, BN254_FQ)
+    ictx.assign_w(w)
+    assert ctx.offsets() == (1, 8, 0)
+    _compare(ctx, g)
+
+
+def test_int_mul_rows_match_reference_layout():
+    """int_mul (integer_chip.rs:466-483): the ~10 base + ~20 range rows of
+    the mul-equation constraint system, cell-for-cell vs the golden oracle
+    (assign_w(rem), assign_d, limb-convolution mul_add_with_next_line
+    chains, carry rows v_h/v_l, native row)."""
+    a_v = 0x0FED_CBA9_8765_4321_0123_4567_89AB_CDEF_1122_3344_5566_7788_99AA_BBCC
+    b_v = 0x0ABC_DEF1_2345_6789_9876_5432_10FE_DCBA_AABB_CCDD_EEFF_0011_2233_4455
+    params = _Params(BN254_FQ, BN254_FR)
+    assert params.mul_check_limbs == 3  # range_info.rs:163-167 for bn254/bn254
+    assert params.d_bits == 267 and params.d_leading_decompose == 3
+
+    g = _Golden(params)
+    ga = g.assign_w(a_v)
+    gb = g.assign_w(b_v)
+    a_wrapped = (ga[0], ga[1], a_v)
+    b_wrapped = (gb[0], gb[1], b_v)
+    g.int_mul(a_wrapped, b_wrapped)
+
+    ctx = Context(BN254_FR)
+    ictx = IntegerContext(ctx, BN254_FQ)
+    a = ictx.assign_w(a_v)
+    b = ictx.assign_w(b_v)
+    ictx.int_mul(a, b)
+
+    assert ctx.offsets() == (g.base_offset, g.range_offset, 0)
+    _compare(ctx, g)
+
+    # permutation list: same pairs in the same order (golden cells carry
+    # (region, col, row) triples; framework cells map to the same triples)
+    rec_perms = [
+        ((str(a.region.name).lower(), a.col, a.row),
+         (str(b.region.name).lower(), b.col, b.row))
+        for a, b in ctx.records.permutations
+    ]
+    golden_perms = [(a, b) for a, b in g.permutations]
+    assert rec_perms == golden_perms
