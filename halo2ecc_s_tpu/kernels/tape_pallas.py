@@ -414,17 +414,37 @@ def build_slab_kernel(
     # live tape values share VMEM too; rough upper estimate by total widths
     val_units = sum(_limb_count(tape.nodes[n]) for n in order)
 
-    def _fits(w: int) -> bool:
-        ob = out_rows * 8 * w * 4
-        vb = val_units * 8 * w * 4
-        return ob <= 12 << 20 and ob + vb // 4 <= 48 << 20
+    in_units = sum(
+        _limb_count(tape.nodes[nid]) for nid, _name, _bits in tape.inputs
+    )
 
-    for cand_w in (W, 64, 32, 16, 8):
-        if cand_w <= W and _fits(cand_w):
-            W = cand_w
-            break
+    def _fits(w: int, strict: bool) -> bool:
+        ob = out_rows * 8 * w * 4
+        ib = in_units * 8 * w * 4
+        vb = val_units * 8 * w * 4
+        if not strict:
+            # the legacy gate the W=128 int_mul headline kernel measured
+            # against (keeps its lowering byte-identical -> cache hits)
+            return ob <= 12 << 20 and ob + vb // 4 <= 48 << 20
+        # fallback tiles use a conservative calibrated model: the Mosaic
+        # VMEM stack was observed at ~1.6x the naive out+in+val estimate
+        # (decompose template: 17.3 MB actual vs 9.9 out + 0.03 in + 1.2
+        # val) against its 16 MB scoped limit
+        return 8 * (ob + ib + vb) <= 5 * (15 << 20)
+
+    if _fits(W, strict=False):
+        sub128 = False
     else:
-        return None
+        for cand_w in (64, 32, 16, 8):
+            if cand_w < W and _fits(cand_w, strict=True):
+                W = cand_w
+                break
+        else:
+            return None
+        # Mosaic requires lane-dim blocks divisible by 128 OR equal to the
+        # whole array: sub-128 tiles therefore run as per-tile single-block
+        # pallas_calls (grid=(1,), block == array) over lane slices
+        sub128 = W < 128
 
     # modular-exponentiation schedule (inv/powm): MSB-first square-and-
     # multiply over a compile-time-constant exponent. The bit schedule
@@ -815,30 +835,53 @@ def build_slab_kernel(
                 )
             out_shapes.append(jax.ShapeDtypeStruct((2, 8, Bs), jnp.uint32))
             out_specs.append(pl.BlockSpec((2, 8, W), _imap))
-        if use_sched:
-            from jax.experimental.pallas import tpu as pltpu
+        def _invoke(specs_in, specs_out, shapes, g, args):
+            if use_sched:
+                from jax.experimental.pallas import tpu as pltpu
 
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=out_specs,
-            )
-            outs = pl.pallas_call(
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=g,
+                    in_specs=specs_in,
+                    out_specs=specs_out,
+                )
+                return pl.pallas_call(
+                    kernel,
+                    grid_spec=grid_spec,
+                    out_shape=shapes,
+                    interpret=interpret,
+                )(jnp.asarray(sched_arr), *args)
+            return pl.pallas_call(
                 kernel,
-                grid_spec=grid_spec,
-                out_shape=out_shapes,
+                grid=g,
+                in_specs=specs_in,
+                out_specs=specs_out,
+                out_shape=shapes,
                 interpret=interpret,
-            )(jnp.asarray(sched_arr), *prep)
+            )(*args)
+
+        if W % 128 == 0 or Bs == W:
+            outs = _invoke(in_specs, out_specs, out_shapes, grid, prep)
         else:
-            outs = pl.pallas_call(
-                kernel,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                out_shape=out_shapes,
-                interpret=interpret,
-            )(*prep)
+            # sub-128 lane tiles: Mosaic only allows lane-dim blocks that
+            # are multiples of 128 or the whole array, so each tile runs as
+            # its own single-block call over a lane slice; identical
+            # layout/results, T device-side launches instead of a grid
+            tile_shapes = [
+                jax.ShapeDtypeStruct(s.shape[:-1] + (W,), s.dtype)
+                for s in out_shapes
+            ]
+            parts = [[] for _ in out_shapes]
+            for t in range(Bs // W):
+                args_t = [a[:, :, t * W : (t + 1) * W] for a in prep]
+                outs_t = _invoke(
+                    in_specs, out_specs, tile_shapes, (1,), args_t
+                )
+                if not isinstance(outs_t, (list, tuple)):
+                    outs_t = [outs_t]
+                for i, o in enumerate(outs_t):
+                    parts[i].append(o)
+            outs = [jnp.concatenate(p, axis=-1) for p in parts]
         slabs = {}
         for ridx, o in zip(regions, outs[: len(regions)]):
             stride, n_adv, _c, _cap = rinfo[ridx]

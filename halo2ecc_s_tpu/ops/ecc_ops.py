@@ -394,6 +394,41 @@ class EccContextBase(TowerOps, PairingOps):
         # x/y relation is inherited from the cached well-formed points
         return AssignedNonZeroPoint(x, y)
 
+    def assign_cache_point(
+        self, p: AssignedPointWithCurvature, g: int, sc: int
+    ) -> None:
+        """Cache a curvature-carrying (possibly-identity) point in the
+        select chip: x, y, z flag, curvature value, curvature z flag
+        (ecc_chip.rs:779-789; no call sites in the reference either — kept
+        for full C11 surface parity)."""
+        i = self.assign_cache_integer(p.x, sc, g, 0)
+        i = self.assign_cache_integer(p.y, sc, g, i)
+        self.ctx.assign_cache_value(p.z.value, _encode_offset(g, sc, i))
+        i += 1
+        i = self.assign_cache_integer(p.curvature.v, sc, g, i)
+        self.ctx.assign_cache_value(p.curvature.z.value, _encode_offset(g, sc, i))
+
+    def assign_selected_point(
+        self, p: AssignedPointWithCurvature, sc: AssignedValue, g: int
+    ) -> AssignedPointWithCurvature:
+        """Select a cached curvature point by in-circuit index
+        (ecc_chip.rs:791-812). x/y relation is inherited from the cached
+        well-formed values, exactly as the reference skips the check."""
+        x, i = self.assign_selected_integer(p.x, sc, g, 0)
+        y, i = self.assign_selected_integer(p.y, sc, g, i)
+        z = self.ctx.assign_select_value(
+            p.z.value, _encode_offset(g, 0, i), sc
+        )
+        i += 1
+        cv, i = self.assign_selected_integer(p.curvature.v, sc, g, i)
+        cz = self.ctx.assign_select_value(
+            p.curvature.z.value, _encode_offset(g, 0, i), sc
+        )
+        return AssignedPointWithCurvature(
+            x, y, AssignedCondition(z),
+            AssignedCurvature(cv, AssignedCondition(cz)),
+        )
+
     def bisec_candidate_non_zero(self, candidates, group_bits) -> AssignedNonZeroPoint:
         """Binary-tree select of candidates[sum(bit_i * 2^i)] (ecc_chip.rs:913-933)."""
         curr = list(candidates)

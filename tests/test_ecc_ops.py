@@ -187,3 +187,39 @@ def test_ecc_encode():
     x, y = p
     assert enc[0].val == ((x & (shift - 1)) + ((x >> info.limb_bits) & (shift - 1)) * shift) % ecc.ctx.n
     run_circuit(ecc.ctx, 20)
+
+
+def test_curvature_point_cache_select_lookup():
+    """assign_cache_point / assign_selected_point (ecc_chip.rs:779-812):
+    cache K curvature-carrying points in the select chip, select one by an
+    in-circuit index, and check (a) the selected point round-trips, (b) the
+    lookup verifies, (c) tampering a selected cell breaks verification."""
+    from halo2ecc_s_tpu.verify.mock_prover import verify_context
+
+    rng = random.Random(77)
+    ecc = make_ctx(seed=31)
+    K = 4
+    cached = []
+    for k in range(K):
+        p = ecc.assign_point(G.random(rng))
+        pwc = ecc.ecc_reduce_with_curvature(p)
+        ecc.assign_cache_point(pwc, g=7, sc=k)
+        cached.append(pwc)
+    idx = 2
+    sel = ecc.ctx.assign(idx)
+    got = ecc.assign_selected_point(cached[idx], sel, g=7)
+    # selected values equal the cached point's values
+    ic = ecc.base_ictx
+    assert ic.get_w_bn(got.x) == ic.get_w_bn(cached[idx].x)
+    assert ic.get_w_bn(got.y) == ic.get_w_bn(cached[idx].y)
+    assert got.z.value.val == cached[idx].z.value.val
+    assert ic.get_w_bn(got.curvature.v) == ic.get_w_bn(cached[idx].curvature.v)
+    assert verify_context(ecc.ctx) == []
+
+    # tamper: bump a selected (is_lookup=1) select-chip value
+    rec = ecc.ctx.records
+    for r in range(rec.select.height):
+        if rec.select.fix_vals[r, 1, 0] == 1:
+            rec.select.write_adv(r, 0, (rec.select.adv_int(r, 0) + 1) % ecc.ctx.n)
+            break
+    assert verify_context(ecc.ctx) != []
