@@ -237,7 +237,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 1 << 17))
     iters = int(os.environ.get("BENCH_ITERS", 8))
-    budget = float(os.environ.get("BENCH_BUDGET", 360))
+    budget = float(os.environ.get("BENCH_BUDGET", 540))
     deadline = _T0 + budget
 
     # NOTE: HALO2ECC_TPU_PALLAS_FUSE (the mod(mul) peephole) does not engage
@@ -402,13 +402,13 @@ def main():
     # the parent past the driver's wall clock (BENCH_r02/r03 rc=124 mode).
     updated = False
     subs = []
-    # keccak first: warm-cache it completes in ~100s; the MSM's cold-cache
-    # compile cost is unbounded on this toolchain (BASELINE.md "MSM on TPU")
-    # so it runs last and takes whatever budget remains
-    if not os.environ.get("BENCH_SKIP_KECCAK"):
-        subs.append("keccak")
+    # msm first: it is the flagship metric, and with the Pallas window
+    # kernels + the jax.export artifact cache (utils/export_cache.py) a
+    # fresh-process warm build costs ~90s (was ~25 min of re-tracing)
     if not os.environ.get("BENCH_SKIP_MSM"):
         subs.append("msm")
+    if not os.environ.get("BENCH_SKIP_KECCAK"):
+        subs.append("keccak")
     for i, name in enumerate(subs):
         remaining = _remaining(deadline)
         if remaining < 45:

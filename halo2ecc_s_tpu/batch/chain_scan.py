@@ -151,7 +151,16 @@ def run_chain_scan(
             )
             return final, ys
 
-        fn = jax.jit(scan_all)
+        from ..utils.export_cache import cached_jit
+
+        fn = cached_jit(
+            scan_all,
+            "chainscan|%r|%s|%r|%d|%r" % (
+                cache_key, ",".join(t.digest() for t in templates),
+                carry_names, n_chunks, collect_slabs,
+            ),
+            "scan",
+        )
         if jit_cache is not None and cache_key is not None:
             jit_cache[cache_key] = fn
 

@@ -469,7 +469,11 @@ class BatchMsm:
                 ins[name] = arr[base + wi]
             return raw(ins)
 
-        cache[key] = jax.jit(step)
+        from ..utils.export_cache import cached_jit
+
+        cache[key] = cached_jit(
+            step, f"{tmpl.digest()}|finstep|{n_inst}|{windows}", "finstep"
+        )
         return cache[key]
 
     def _window_step_fn(self, tmpl, group_size: int, geom: Tuple[int, int, int, int]):
@@ -513,7 +517,11 @@ class BatchMsm:
                 ins[f"bit{b}"] = bit_stack[w_idx, base_pts + gi * group_size + b]
             return raw(ins)
 
-        cache[geom] = jax.jit(step)
+        from ..utils.export_cache import cached_jit
+
+        cache[geom] = cached_jit(
+            step, f"{tmpl.digest()}|winstep|{sel}|{nl}|{geom}", "winstep"
+        )
         return cache[geom]
 
     # ------------------------------------------------------------------

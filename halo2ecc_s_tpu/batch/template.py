@@ -193,6 +193,56 @@ class Template:
 
     # -- instantiation --
 
+    def digest(self) -> str:
+        """Semantic hash of everything that determines the emitters'
+        lowering: tape contents, probe layout (strides, constant patterns,
+        captures), outputs structure, and the lowering-affecting env flags.
+        Keys the cross-process export cache (utils/export_cache.py)."""
+        if getattr(self, "_digest", None) is not None:
+            return self._digest
+        import hashlib
+
+        h = hashlib.sha256()
+
+        def put(*parts):
+            for p in parts:
+                h.update(repr(p).encode())
+                h.update(b"\0")
+
+        put("n", self.n, "strides", self.strides)
+        for node in self.tape.nodes:
+            put(node.op, node.args, node.const, node.bits, node.pad)
+        put("inputs", self.tape.inputs)
+        put("aec", self.tape.assume_equal_const)
+        put("achk", sorted(set(self.tape.assume_checks)))
+        for info in self._region_const_info():
+            if info is None:
+                put(None)
+                continue
+            stride, n_adv, const, captures = info
+            put(stride, n_adv, captures)
+            h.update(const.tobytes())
+        # outputs structure: leaf cells + nids in traversal order
+        for leaf in _iter_leaves(self.outputs):
+            c = leaf.cell
+            put(int(c.region), c.col, c.row,
+                leaf.val.nid if isinstance(leaf.val, SymVal) else leaf.val)
+        for v in _iter_vecs(self.outputs):
+            put("vec", [l.val.nid for l in v.leaves])
+        put("ph", sorted(
+            (int(c.region), c.col, c.row, v)
+            for c, v in self._placeholder_cells.items()
+        ))
+        put(
+            "env",
+            os.environ.get("HALO2ECC_TPU_TAPE_PALLAS_W", "128"),
+            bool(os.environ.get("HALO2ECC_TPU_NO_TAPE_PALLAS")),
+            bool(os.environ.get("HALO2ECC_TPU_PALLAS_FUSE")),
+            os.environ.get("HALO2ECC_TPU_LANE_MAJOR"),
+        )
+        self._digest = h.hexdigest()[:32]
+        return self._digest
+
     def _roots(self) -> List[int]:
         roots = []
         for tbl in (self.ctx.records.base, self.ctx.records.range, self.ctx.records.select):
@@ -620,7 +670,11 @@ class Template:
             return slabs, outvals, {"diverged": diverged, "width_bad": width_bad}
 
         self._slab_emit_raw = emit
-        self._slab_emit = jax.jit(emit)
+        from ..utils.export_cache import cached_jit
+
+        self._slab_emit = cached_jit(
+            emit, self.digest() + "|slab_value_emitter", "slab"
+        )
 
     def device_emitter_raw(self):
         """Unjitted emission fn (for wrapping in shard_map; see
@@ -692,7 +746,9 @@ class Template:
             return self._assemble_tables(plans, take, bufs, B)
 
         self._dev_emit_raw = emit
-        jitted = jax.jit(emit)
+        from ..utils.export_cache import cached_jit
+
+        jitted = cached_jit(emit, self.digest() + "|device_emitter", "dev")
 
         def checked(inputs):
             # validate host-resident (numpy) inputs against declared widths;
