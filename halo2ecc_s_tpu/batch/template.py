@@ -761,6 +761,72 @@ class Template:
         self._dev_emit = checked
         return self._dev_emit
 
+    def device_emitter_raw_slabs(self):
+        """Jitted fn(inputs) -> {ridx: u32[S*8, 8, Bs]}: the advice slabs
+        in the KERNEL-NATIVE lane-major packed layout (row = cell*8 + pair,
+        lane b = sublane*Bs + w, batch padded up to the tile). This is the
+        serving deliverable on TPU: skipping the batch-major transpose
+        removes ~73% of the emit's device time at B=2^17 (the transpose
+        re-reads and rewrites the entire slab; BASELINE.md round 5).
+        kernels.tape_pallas.unpack_raw_slab() converts to the
+        Records-facing [B, stride, n_adv, 8] when a host write needs it.
+
+        Without the Pallas kernel (CPU / unsupported tape) the XLA path
+        emits batch-major and converts — bit-exact, same contract, none of
+        the savings."""
+        if getattr(self, "_dev_emit_raws", None) is not None:
+            return self._dev_emit_raws
+        import jax.numpy as jnp
+
+        pallas_kernel = None
+        pallas_W = int(os.environ.get("HALO2ECC_TPU_TAPE_PALLAS_W", 128))
+        if (
+            jax.default_backend() not in ("cpu",)
+            and not os.environ.get("HALO2ECC_TPU_NO_TAPE_PALLAS")
+        ):
+            from ..kernels.tape_pallas import build_slab_kernel
+
+            pallas_kernel = build_slab_kernel(
+                self, W=pallas_W, raw_slabs=True
+            )
+        if pallas_kernel is not None:
+            emit = pallas_kernel
+        else:
+            self.device_emitter()  # builds _dev_emit_raw
+            batch_emit = self._dev_emit_raw
+            rinfo = self._region_const_info()
+
+            def emit(inputs):
+                slabs = batch_emit(inputs)
+                out = {}
+                for ridx, t in slabs.items():
+                    B0, stride, n_adv, _ = t.shape
+                    Bs = -(-B0 // 8)
+                    if 8 * Bs != B0:
+                        pad = jnp.broadcast_to(
+                            t[:1], (8 * Bs - B0,) + t.shape[1:]
+                        )
+                        t = jnp.concatenate([t, pad], axis=0)
+                    S = stride * n_adv
+                    x = t.reshape(8, Bs, S, 8)
+                    out[ridx] = jnp.transpose(x, (2, 3, 0, 1)).reshape(
+                        S * 8, 8, Bs
+                    )
+                return out
+
+        from ..utils.export_cache import cached_jit
+
+        self._dev_emit_raws_raw = emit
+        self._dev_emit_raws = cached_jit(
+            emit, self.digest() + "|device_emitter_raw_slabs", "rawslab"
+        )
+        return self._dev_emit_raws
+
+    def device_emitter_raw_slabs_raw(self):
+        """Unjitted form of device_emitter_raw_slabs (for outer jits)."""
+        self.device_emitter_raw_slabs()
+        return self._dev_emit_raws_raw
+
     def instantiate(
         self,
         ctx: Context,

@@ -72,6 +72,20 @@ SUPPORTED_OPS = {
 }
 
 
+def unpack_raw_slab(o, stride: int, n_adv: int, B0: int):
+    """Convert a raw kernel-native slab u32[S*8, 8, Bs] (row = cell*8 +
+    pair, lane b = sublane*Bs + w) to the batch-major Records-facing
+    u32[B0, stride, n_adv, 8]. Works for numpy or jax arrays."""
+    import numpy as _np
+
+    S = stride * n_adv
+    Bs = o.shape[-1]
+    xp = _np if isinstance(o, _np.ndarray) else jnp
+    t = o.reshape(S, 8, 8, Bs)
+    t = xp.transpose(t, (2, 3, 0, 1)).reshape(8 * Bs, stride, n_adv, 8)
+    return t[:B0]
+
+
 def tape_supported(tape, roots) -> bool:
     from ..batch.evaluator import live_nodes
 
@@ -309,7 +323,7 @@ class _Ref:
 
 def build_slab_kernel(
     tmpl, W: int = 128, reference: bool = False, with_outputs: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, raw_slabs: bool = False,
 ):
     """Build fn(inputs: {name: u32[B, 16]}) -> {ridx: u32[B, stride, n_adv,
     8]} computing the template's packed advice slabs in ONE Pallas kernel
@@ -426,14 +440,15 @@ def build_slab_kernel(
             # the legacy gate the W=128 int_mul headline kernel measured
             # against (keeps its lowering byte-identical -> cache hits)
             return ob <= 12 << 20 and ob + vb // 4 <= 48 << 20
-        # fallback tiles use a conservative calibrated model: the Mosaic
-        # VMEM stack was observed at ~1.6x the naive out+in+val estimate
-        # (decompose template: 17.3 MB actual vs 9.9 out + 0.03 in + 1.2
-        # val) against its 16 MB scoped limit
-        return 8 * (ob + ib + vb) <= 5 * (15 << 20)
+        # fallback tiles run with an explicit vmem_limit_bytes raise (the
+        # 16 MB default scoped budget is conservative; v5e has 128 MB VMEM
+        # per core). Mosaic's stack was observed between 1.6x (decompose,
+        # no inv) and 4.7x (assign, 3 inv fori loops) the naive
+        # out+in+val estimate; budget worst-case 5x against 56 MB.
+        return 5 * (ob + ib + vb) <= 56 << 20
 
     if _fits(W, strict=False):
-        sub128 = False
+        raise_vmem = False
     else:
         for cand_w in (64, 32, 16, 8):
             if cand_w < W and _fits(cand_w, strict=True):
@@ -443,8 +458,9 @@ def build_slab_kernel(
             return None
         # Mosaic requires lane-dim blocks divisible by 128 OR equal to the
         # whole array: sub-128 tiles therefore run as per-tile single-block
-        # pallas_calls (grid=(1,), block == array) over lane slices
-        sub128 = W < 128
+        # pallas_calls (grid=(1,), block == array) over lane slices.
+        # These kernels also get the raised vmem budget (see _fits).
+        raise_vmem = True
 
     # modular-exponentiation schedule (inv/powm): MSB-first square-and-
     # multiply over a compile-time-constant exponent. The bit schedule
@@ -750,6 +766,9 @@ def build_slab_kernel(
             _xp = _xp_saved
         slabs = {}
         for ridx, o in zip(regions, outs[: len(regions)]):
+            if raw_slabs:
+                slabs[ridx] = o
+                continue
             stride, n_adv, _c, _cap = rinfo[ridx]
             S = stride * n_adv
             t = o.reshape(S, 8, 8, Bs)
@@ -836,9 +855,14 @@ def build_slab_kernel(
             out_shapes.append(jax.ShapeDtypeStruct((2, 8, Bs), jnp.uint32))
             out_specs.append(pl.BlockSpec((2, 8, W), _imap))
         def _invoke(specs_in, specs_out, shapes, g, args):
-            if use_sched:
-                from jax.experimental.pallas import tpu as pltpu
+            from jax.experimental.pallas import tpu as pltpu
 
+            extra = {}
+            if raise_vmem and not interpret:
+                extra["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=64 << 20
+                )
+            if use_sched:
                 grid_spec = pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
                     grid=g,
@@ -850,6 +874,7 @@ def build_slab_kernel(
                     grid_spec=grid_spec,
                     out_shape=shapes,
                     interpret=interpret,
+                    **extra,
                 )(jnp.asarray(sched_arr), *args)
             return pl.pallas_call(
                 kernel,
@@ -858,6 +883,7 @@ def build_slab_kernel(
                 out_specs=specs_out,
                 out_shape=shapes,
                 interpret=interpret,
+                **extra,
             )(*args)
 
         if W % 128 == 0 or Bs == W:
@@ -884,6 +910,15 @@ def build_slab_kernel(
             outs = [jnp.concatenate(p, axis=-1) for p in parts]
         slabs = {}
         for ridx, o in zip(regions, outs[: len(regions)]):
+            if raw_slabs:
+                # kernel-native lane-major layout: u32[S*8, 8, Bs] with row
+                # cell*8 + pair and lane b = sublane*Bs + w (padded lanes
+                # kept). Skipping the batch-major transpose removes ~73%
+                # of the headline emit's device time (the transpose
+                # re-reads+rewrites the whole slab; measured 7.1 of
+                # 9.7 ms/iter at B=2^17). unpack_raw_slab() converts.
+                slabs[ridx] = o
+                continue
             stride, n_adv, _c, _cap = rinfo[ridx]
             S = stride * n_adv
             # [S*8, 8, Bs] -> [B, stride, n_adv, 8]
