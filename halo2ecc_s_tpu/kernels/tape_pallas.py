@@ -442,10 +442,13 @@ def build_slab_kernel(
             return ob <= 12 << 20 and ob + vb // 4 <= 48 << 20
         # fallback tiles run with an explicit vmem_limit_bytes raise (the
         # 16 MB default scoped budget is conservative; v5e has 128 MB VMEM
-        # per core). Mosaic's stack was observed between 1.6x (decompose,
-        # no inv) and 4.7x (assign, 3 inv fori loops) the naive
-        # out+in+val estimate; budget worst-case 5x against 56 MB.
-        return 5 * (ob + ib + vb) <= 56 << 20
+        # per core). Mosaic's stack was observed between 1.6x and ~7x the
+        # naive out+in+val estimate (assign's inv fori loops: 4.7x;
+        # decompose at W=16: 77 MB vs 11.1 naive under the raised budget —
+        # the allocator gets greedier with more headroom). Budget 5x naive
+        # against 48 MB, leaving 16 MB of model-error slack under the
+        # 64 MB vmem_limit_bytes.
+        return 5 * (ob + ib + vb) <= 48 << 20
 
     if _fits(W, strict=False):
         raise_vmem = False

@@ -387,6 +387,74 @@ class _Golden:
         )
         self.base_offset += 1
 
+    def add(self, a, b):
+        """base_chip.rs:156-161: sum_with_constant [(a,1),(b,1)]."""
+        return self.sum_with_constant([(a, 1), (b, 1)], None)
+
+    def int_add(self, a, b):
+        """integer_chip.rs:384-406 (times < conditionally_reduce threshold
+        so no trailing reduce here)."""
+        p = self.p
+        a_limbs, a_native, a_bn, a_times = a
+        b_limbs, b_native, b_bn, b_times = b
+        limbs = [self.add(a_limbs[i], b_limbs[i]) for i in range(p.limbs)]
+        native = self.sum_with_constant(list(zip(limbs, p.limb_coeffs)), None)
+        return limbs, native, a_bn + b_bn, a_times + b_times
+
+    def reduce(self, a):
+        """integer_chip.rs:283-373: d/rem assignment, native line, and the
+        reduce_check_limbs carry lines."""
+        p = self.p
+        a_limbs, a_native, a_bn, a_times = a
+        overflow_limit = 1 << OVERFLOW_BITS
+        assert 1 < a_times < overflow_limit
+        d_bn, rem_bn = divmod(a_bn, p.w)
+        rem_limbs, rem_native = self.assign_w(rem_bn)
+        d = self.assign_common(d_bn)
+        # native constraint (integer_chip.rs:303-311)
+        self.one_line_with_last(
+            [(d, p.w_native), (rem_native, 1)], (a_native, -1), None,
+            ([], None),
+        )
+        reduce_check_limbs = (
+            max(p.w_ceil_bits + OVERFLOW_BITS, COMMON_BITS + p.w_ceil_bits)
+            - ((BN254_FR - 1).bit_length() - 1)
+            + LIMB_BITS
+            - 1
+        ) // LIMB_BITS  # range_info.rs:168-172
+        last_v = None
+        rem_limb_ints = [
+            (rem_bn >> (i * LIMB_BITS)) & p.limb_mask for i in range(p.limbs)
+        ]
+        for i in range(reduce_check_limbs):
+            last_borrow = overflow_limit if i else 0
+            carry = last_v[0] if last_v else 0
+            u = (
+                d_bn * p.w_modulus_limbs_le[i]
+                + rem_limb_ints[i]
+                + p.limb_modulus * overflow_limit
+                - a_limbs[i][0]  # field value of a's ith limb
+                + carry
+                - last_borrow
+            )
+            v_bn, r = divmod(u, p.limb_modulus)
+            assert r == 0, "golden reduce: carry remainder must vanish"
+            v = self.assign_nonleading_limb(v_bn)
+            self.one_line_with_last(
+                [
+                    (d, p.w_modulus_limbs_le[i]),
+                    (rem_limbs[i], 1),
+                    (a_limbs[i], -1),
+                    (last_v, 1) if last_v is not None else (0, 0),
+                ],
+                (v, -p.limb_modulus),
+                p.limb_modulus * overflow_limit
+                - (overflow_limit if i else 0),
+                ([], None),
+            )
+            last_v = v
+        return rem_limbs, rem_native, rem_bn, 1
+
     def int_mul(self, a, b):
         """integer_chip.rs:466-483; a/b: (limb pairs, native pair, int value)."""
         p = self.p
@@ -484,6 +552,36 @@ def test_assign_w_rows_match_reference_layout():
     ictx = IntegerContext(ctx, BN254_FQ)
     ictx.assign_w(w)
     assert ctx.offsets() == (1, 8, 0)
+    _compare(ctx, g)
+
+
+def test_int_add_reduce_rows_match_reference_layout():
+    """int_add (times bookkeeping, integer_chip.rs:384-406) + explicit
+    reduce (integer_chip.rs:283-373): d/rem assignment, the native
+    constraint line, and the single bn254 reduce-check carry line
+    (reduce_check_limbs == 1, range_info.rs:168-172), cell-for-cell."""
+    a_v = 0x0AAA_BBBB_CCCC_DDDD_EEEE_FFFF_0123_4567_89AB_CDEF_0011_2233_4455_6677
+    b_v = 0x0123_4567_89AB_CDEF_FEDC_BA98_7654_3210_1357_9BDF_0246_8ACE_1122_3344
+    params = _Params(BN254_FQ, BN254_FR)
+
+    g = _Golden(params)
+    ga = g.assign_w(a_v)
+    gb = g.assign_w(b_v)
+    gc = g.int_add(
+        (ga[0], ga[1], a_v, 1), (gb[0], gb[1], b_v, 1)
+    )
+    assert gc[3] == 2  # times 2: below the conditionally_reduce threshold
+    g.reduce(gc)
+
+    ctx = Context(BN254_FR)
+    ictx = IntegerContext(ctx, BN254_FQ)
+    a = ictx.assign_w(a_v)
+    b = ictx.assign_w(b_v)
+    c = ictx.int_add(a, b)
+    assert c.times == 2
+    ictx.reduce(c)
+
+    assert ctx.offsets() == (g.base_offset, g.range_offset, 0)
     _compare(ctx, g)
 
 
